@@ -1,0 +1,128 @@
+"""Benchmark: edges/sec/chip for the fused SpMM+VQ training step.
+
+Workload mirrors the reference's flagship config (README.md:19-22 — ogbn-arxiv
+GCN, cluster sampler, 80 parts, 40-part batches, num_D=4, hidden 128, 3
+layers) on an arxiv-scale synthetic graph (the container has no network
+egress for the real OGB download; tools/convert_dataset.py builds the real
+npz when data is available, and bench picks it up automatically).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against bench_anchor.json (this framework's first
+recorded round-1 value — the reference repo publishes no numbers, SURVEY §6).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vq_gnn_tpu.config import Config
+    from vq_gnn_tpu.graph.datasets import load_npz, prepare, synthetic_sbm
+    from vq_gnn_tpu.nn.model import model_static
+    from vq_gnn_tpu.sampler.samplers import BatchLoader
+    from vq_gnn_tpu.train.loop import device_features
+    from vq_gnn_tpu.train.state import init_train_state
+    from vq_gnn_tpu.train.step import make_step_fns
+
+    cfg = Config(
+        dataset="arxiv",
+        conv_type="GCN",
+        num_layers=3,
+        hidden_channels=128,
+        num_D=4,
+        num_M=256,
+        sampler_type="cluster",
+        num_parts=80,
+        batch_size=40,
+        vq_update_mode="live",
+        warm_up_flag=True,
+        skip=True,
+        matmul_precision="default",  # bench rides the MXU; VQ ops stay exact
+    )
+
+    path = os.path.join(cfg.data_root, "arxiv.npz")
+    if os.path.exists(path):
+        g, c = load_npz(path)
+        log(f"loaded real arxiv: N={g.num_nodes} E={g.num_edges}")
+    else:
+        g, c = synthetic_sbm(
+            num_nodes=169_343,
+            num_classes=40,
+            num_features=128,
+            avg_degree=13.7,
+            seed=0,
+        )
+        log(f"synthetic arxiv-scale: N={g.num_nodes} E={g.num_edges}")
+    g, c, cluster_indices = prepare(g, cfg, c)
+    log(f"prepared: E(normalized)={g.num_edges}")
+
+    jax.config.update("jax_default_matmul_precision", cfg.matmul_precision)
+    ms = model_static(cfg, g.num_features, c)
+    state = init_train_state(jax.random.PRNGKey(0), ms, g.num_nodes)
+    fns = make_step_fns(ms, cfg, multilabel=False)
+    X_dev = device_features(g.x)
+
+    loader = BatchLoader(g, cfg, train_flag=True, cluster_indices=cluster_indices)
+    windows, _ = next(iter(loader))
+    batch = windows[0]
+    E_batch = int(np.asarray(batch.edges.val != 0).sum())
+    log(
+        f"batch: B={int(batch.num_B)} B_pad={batch.B_pad} Bp_pad={batch.Bp_pad} "
+        f"E={E_batch} E_pad={batch.edges.row.shape[0]}"
+    )
+
+    args = (
+        jnp.float32(1.0),
+        jnp.float32(0.01),
+        jnp.float32(1.0),
+        jax.random.PRNGKey(1),
+    )
+
+    # warm-up / compile
+    t0 = time.time()
+    state, metrics = fns.train_step(state, X_dev, batch, *args)
+    jax.block_until_ready(metrics["loss"])
+    log(f"compile+first step: {time.time() - t0:.1f}s loss={float(metrics['loss']):.4f}")
+
+    steps = 20
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = fns.train_step(state, X_dev, batch, *args)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+    eps = E_batch * steps / dt
+    log(f"{steps} steps in {dt:.3f}s -> {eps/1e6:.2f}M edges/s/chip")
+
+    anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_anchor.json")
+    vs = 1.0
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        if anchor.get("value"):
+            vs = eps / anchor["value"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_edges_per_sec_per_chip",
+                "value": round(eps, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(vs, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Node-classification CLI — mirrors the reference ``vq_gnn_v2/main_node.py``
+flag surface (``utils/parser.py:3-68``) on top of the TPU framework."""
+
+import argparse
+
+from vq_gnn_tpu.config import Config
+from vq_gnn_tpu.graph.datasets import get_data
+from vq_gnn_tpu.train.loop import NodeTrainer
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="VQ-GNN TPU (node classification)")
+    p.add_argument("--dataset", type=str, default="arxiv")
+    p.add_argument("--data-root", type=str, default="./datasets")
+    p.add_argument("--conv-type", type=str, default="GCN", choices=["GCN", "SAGE", "GAT"])
+    p.add_argument("--num-layers", type=int, default=3)
+    p.add_argument("--hidden-channels", type=int, default=128)
+    p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--batch-size", type=int, default=10000)
+    p.add_argument("--test-batch-size", type=int, default=60000)
+    p.add_argument("--num-M", type=int, default=256)
+    p.add_argument("--num-D", type=int, default=4)
+    p.add_argument("--grad-scale", nargs="+", type=float, default=[1, 1])
+    p.add_argument("--act", type=str, default="leaky_gelu")
+    p.add_argument("--bn-flag", action="store_false", default=True)
+    p.add_argument("--warm-up", action="store_false", default=True)
+    p.add_argument("--warm-up-epochs", type=float, default=0)
+    p.add_argument("--momentum", type=float, default=0.1)
+    p.add_argument("--skip", action="store_true")
+    p.add_argument("--commitment-cost", type=float, default=0.0)
+    p.add_argument("--ce-only", action="store_true")
+    p.add_argument("--sche", action="store_true")
+    p.add_argument("--alpha-dropout-flag", action="store_true")
+    p.add_argument("--dropbranch", type=float, default=0.0)
+    p.add_argument("--sampler-type", type=str, default="node",
+                   choices=["node", "edge", "rw", "cont", "cluster"])
+    p.add_argument("--num-parts", type=int, default=1)
+    p.add_argument("--walk-length", type=int, default=5)
+    p.add_argument("--cont-sliding-window", type=int, default=1)
+    p.add_argument("--recovery-flag", action="store_false", default=True)
+    p.add_argument("--runs", type=int, default=1)
+    p.add_argument("--log-steps", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    # TPU-framework extras
+    p.add_argument("--vq-update-mode", type=str, default="live",
+                   choices=["live", "reference"])
+    p.add_argument("--matmul-precision", type=str, default="highest",
+                   choices=["highest", "default"])
+    return p.parse_args()
+
+
+def main():
+    a = parse_args()
+    cfg = Config(
+        dataset=a.dataset,
+        data_root=a.data_root,
+        conv_type=a.conv_type,
+        num_layers=a.num_layers,
+        hidden_channels=a.hidden_channels,
+        dropout=a.dropout,
+        lr=a.lr,
+        epochs=a.epochs,
+        batch_size=a.batch_size,
+        test_batch_size=a.test_batch_size,
+        num_M=a.num_M,
+        num_D=a.num_D,
+        grad_scale=tuple(a.grad_scale),
+        act=a.act,
+        bn_flag=a.bn_flag,
+        warm_up=a.warm_up,
+        warm_up_epochs=a.warm_up_epochs,
+        warm_up_flag=a.warm_up,
+        momentum=a.momentum,
+        skip=a.skip,
+        commitment_cost=a.commitment_cost,
+        ce_only=a.ce_only,
+        sche=a.sche,
+        alpha_dropout_flag=a.alpha_dropout_flag,
+        dropbranch=a.dropbranch,
+        sampler_type=a.sampler_type,
+        num_parts=a.num_parts,
+        walk_length=a.walk_length,
+        cont_sliding_window=a.cont_sliding_window,
+        recovery_flag=a.recovery_flag,
+        runs=a.runs,
+        log_steps=a.log_steps,
+        seed=a.seed,
+        vq_update_mode=a.vq_update_mode,
+        matmul_precision=a.matmul_precision,
+    )
+    print(cfg)
+    graph, num_classes, cluster_indices = get_data(cfg)
+    trainer = NodeTrainer(graph, cfg, num_classes, cluster_indices=cluster_indices)
+    for run in range(cfg.runs):
+        trainer.fit(run=run)
+        trainer.logger.print_statistics(run)
+    trainer.logger.print_statistics()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vq_gnn_tpu.config import Config
+from vq_gnn_tpu.graph.datasets import prepare, synthetic_sbm
+from vq_gnn_tpu.nn.model import model_static
+from vq_gnn_tpu.parallel.mesh import make_mesh, shard_train_inputs
+from vq_gnn_tpu.sampler.samplers import BatchLoader
+from vq_gnn_tpu.train.loop import device_features
+from vq_gnn_tpu.train.state import init_train_state
+from vq_gnn_tpu.train.step import make_step_fns
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_train_step_matches_single_device():
+    cfg = Config(
+        dataset="synthetic",
+        conv_type="GCN",
+        num_layers=2,
+        hidden_channels=16,
+        num_D=4,
+        num_M=8,
+        batch_size=128,
+        skip=True,
+        pad_multiple_nodes=64,
+        pad_multiple_edges=512,
+        vq_update_mode="live",
+    )
+    g, c = synthetic_sbm(num_nodes=400, num_features=16, seed=0)
+    g, c, _ = prepare(g, cfg, c)
+    ms = model_static(cfg, g.num_features, c)
+    state = init_train_state(jax.random.PRNGKey(0), ms, g.num_nodes)
+    fns = make_step_fns(ms, cfg, multilabel=False)
+    X_dev = device_features(g.x)
+    loader = BatchLoader(g, cfg, train_flag=True)
+    windows, _ = next(iter(loader))
+    batch = windows[0]
+    args = (jnp.float32(1.0), jnp.float32(0.01), jnp.float32(1.0), jax.random.PRNGKey(3))
+
+    s1, m1 = fns.train_step(state, X_dev, batch, *args)
+
+    mesh = make_mesh(8)
+    state_s, X_s, batch_s = shard_train_inputs(mesh, state, X_dev, batch)
+    s8, m8 = fns.train_step(state_s, X_s, batch_s, *args)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    # parameters and codebooks must match between 1- and 8-device execution
+    flat1 = jax.tree.leaves(s1.params)
+    flat8 = jax.tree.leaves(s8.params)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+    for l in range(ms.num_layers):
+        np.testing.assert_allclose(
+            np.asarray(s1.vq_states[l].embedding),
+            np.asarray(s8.vq_states[l].embedding),
+            rtol=2e-5,
+            atol=2e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s1.vq_states[l].c_indices),
+            np.asarray(s8.vq_states[l].c_indices),
+        )
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(len(jax.devices()))

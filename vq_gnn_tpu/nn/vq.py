@@ -1,0 +1,298 @@
+"""Functional EMA vector-quantizer — the VQ core.
+
+Re-implements the semantics of the reference ``VectorQuantizerEMA``
+(``vq_gnn_v2/vq.py:60-279``; v1 identical plus ``add_flag`` handling) as pure
+state transitions.  The torch version mutates registered buffers inside a
+backward hook; here every transition takes and returns an explicit
+:class:`VQState`, so the whole thing jits, vmaps over the branch axis, and
+psums across replicas.
+
+Per GNN layer there are ``num_branch`` independent codebooks (one per
+``num_D``-wide feature slice).  All per-branch arrays carry a leading branch
+axis and the transitions are ``vmap``-ed over it.
+
+State layout (K = 2*D, +1 when ``add_flag``):
+
+- ``embedding [nb, M, K]``        codebook in *normalized* space
+- ``embedding_output [nb, M, K]`` de-normalized copy used for lookups (``get()``)
+- ``ema_cluster_size [nb, M]``, ``ema_w [nb, M, K]``  EMA accumulators
+- ``bn_feat_* [nb, D]``, ``bn_grad_* [nb, Dg]``       BatchNorm running stats
+- ``c_indices [nb, N+1]`` int16   node -> codeword (last row is a dustbin for
+  padded batch slots; int16 matches the reference, ``models.py v2:27-28``)
+- ``bn_inited``, ``bad_init``     scalars (the reference raises 'Bad Init!' on
+  codebook collapse, ``vq.py:253-254``; we set a flag the trainer checks)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vq_gnn_tpu.ops.vq_ops import assignment_stats, masked_mean_var, nearest_codeword
+
+BN_FEAT_EPS = 1e-5  # torch BatchNorm1d default (vq.py:86)
+BN_FEAT_MOMENTUM = 0.1
+LAPLACE_EPS = 1e-5  # vq.py:184-186, 249-251
+
+
+@dataclasses.dataclass(frozen=True)
+class VQParams:
+    """Static VQ hyperparameters (constructor args of VectorQuantizerEMA)."""
+
+    num_M: int
+    num_D: int
+    decay: float = 0.99
+    epsilon: float = 1e-24
+    grad_scale: Tuple[float, float] = (1.0, 1.0)
+    warm_up_flag: bool = False  # Laplace smoothing of cluster sizes
+    momentum: float = 0.1  # grad-BN running-stat momentum (vq.py:87-88)
+    add_flag: bool = False  # quantize one extra (ones-column) grad dim
+
+    @property
+    def grad_dim(self) -> int:
+        return self.num_D + (1 if self.add_flag else 0)
+
+    @property
+    def total_dim(self) -> int:
+        return 2 * self.num_D + (1 if self.add_flag else 0)
+
+
+class VQState(struct.PyTreeNode):
+    embedding: jnp.ndarray
+    embedding_output: jnp.ndarray
+    ema_cluster_size: jnp.ndarray
+    ema_w: jnp.ndarray
+    bn_feat_mean: jnp.ndarray
+    bn_feat_var: jnp.ndarray
+    bn_grad_mean: jnp.ndarray
+    bn_grad_var: jnp.ndarray
+    c_indices: jnp.ndarray
+    bn_inited: jnp.ndarray  # bool scalar
+    bad_init: jnp.ndarray  # bool scalar
+
+
+def init_vq_state(rng, num_branch: int, num_N: int, p: VQParams) -> VQState:
+    """Mirror of the reference buffer init (``vq.py:73-99``, ``models.py v2:27``)."""
+    k_emb, k_w, k_c = jax.random.split(rng, 3)
+    M, D, K = p.num_M, p.num_D, p.total_dim
+
+    emb = jax.random.normal(k_emb, (num_branch, M, K), dtype=jnp.float32)
+    ema_w = (
+        jax.random.normal(k_w, (num_branch, M, K), dtype=jnp.float32)
+        if p.warm_up_flag
+        else jnp.zeros((num_branch, M, K), dtype=jnp.float32)
+    )
+    gscale = jnp.ones((K,), dtype=jnp.float32)
+    gscale = gscale.at[D : 2 * D].set(p.grad_scale[0])
+    if p.add_flag:
+        gscale = gscale.at[2 * D].set(p.grad_scale[1])
+    emb = emb * gscale
+    ema_w = ema_w * gscale
+
+    c = jax.random.randint(k_c, (num_branch, num_N + 1), 0, M, dtype=jnp.int32)
+    return VQState(
+        embedding=emb,
+        embedding_output=jnp.zeros((num_branch, M, K), dtype=jnp.float32),
+        ema_cluster_size=jnp.zeros((num_branch, M), dtype=jnp.float32),
+        ema_w=ema_w,
+        bn_feat_mean=jnp.zeros((num_branch, D), dtype=jnp.float32),
+        bn_feat_var=jnp.ones((num_branch, D), dtype=jnp.float32),
+        bn_grad_mean=jnp.zeros((num_branch, p.grad_dim), dtype=jnp.float32),
+        bn_grad_var=jnp.ones((num_branch, p.grad_dim), dtype=jnp.float32),
+        c_indices=c.astype(jnp.int16),
+        bn_inited=jnp.asarray(False),
+        bad_init=jnp.asarray(False),
+    )
+
+
+def _bn_train(x, r_mean, r_var, eps, momentum, valid):
+    """torch BatchNorm1d(affine=False) in train mode: normalize by (masked)
+    biased batch stats, EMA running stats toward the unbiased batch var."""
+    b_mean, b_var = masked_mean_var(x, valid, ddof=0)
+    _, b_var_u = masked_mean_var(x, valid, ddof=1)
+    xn = (x - b_mean[None, :]) * jax.lax.rsqrt(b_var[None, :] + eps)
+    new_mean = (1.0 - momentum) * r_mean + momentum * b_mean
+    new_var = (1.0 - momentum) * r_var + momentum * b_var_u
+    return xn, new_mean, new_var
+
+
+def _ema_counts(size, counts, p: VQParams):
+    """EMA cluster-size update + optional Laplace smoothing (vq.py:242-251)."""
+    size = size * p.decay + (1.0 - p.decay) * counts
+    if p.warm_up_flag:
+        n = jnp.sum(size)
+        size = (size + LAPLACE_EPS) / (n + p.num_M * LAPLACE_EPS) * n
+    return size
+
+
+def feature_update(
+    state: VQState,
+    X_B: jnp.ndarray,  # [nb, B, D] per-branch input slices
+    batch_idx: jnp.ndarray,  # [B] global node ids (padding slots -> N dustbin)
+    p: VQParams,
+    valid: Optional[jnp.ndarray] = None,  # [B] bool
+    training: bool = True,
+) -> Tuple[VQState, jnp.ndarray]:
+    """Feature-half codebook update (``vq.py:160-202``): BN-normalize the
+    input slice, assign to the nearest feature-half codeword, EMA the feature
+    half only, and refresh the de-normalized feature half of the output table.
+    Used by the layerwise init bootstrap and by uninited/unlabeled blocks."""
+    D = p.num_D
+
+    def one_branch(x, emb, emb_out, size, ema_w, r_mean, r_var):
+        xn, new_mean, new_var = _bn_train(
+            x, r_mean, r_var, BN_FEAT_EPS, BN_FEAT_MOMENTUM, valid
+        )
+        idx = nearest_codeword(xn, emb[:, :D])
+        if not training:
+            return emb, emb_out, size, ema_w, r_mean, r_var, idx, jnp.asarray(False)
+        counts, sums = assignment_stats(xn, idx, p.num_M, valid)
+        new_size = _ema_counts(size, counts, p)
+        bad = jnp.any(new_size == 0)
+        new_ema_feat = ema_w[:, :D] * p.decay + (1.0 - p.decay) * sums
+        new_emb_feat = new_ema_feat / new_size[:, None]
+        run_std = jnp.sqrt(new_var + BN_FEAT_EPS)
+        new_out_feat = new_emb_feat * run_std[None, :] + new_mean[None, :]
+        emb = emb.at[:, :D].set(new_emb_feat)
+        ema_w = ema_w.at[:, :D].set(new_ema_feat)
+        emb_out = emb_out.at[:, :D].set(new_out_feat)
+        return emb, emb_out, new_size, ema_w, new_mean, new_var, idx, bad
+
+    emb, emb_out, size, ema_w, r_mean, r_var, idx, bad = jax.vmap(one_branch)(
+        X_B,
+        state.embedding,
+        state.embedding_output,
+        state.ema_cluster_size,
+        state.ema_w,
+        state.bn_feat_mean,
+        state.bn_feat_var,
+    )
+    c_indices = state.c_indices.at[:, batch_idx].set(
+        idx.astype(jnp.int16), mode="drop"
+    )
+    return (
+        state.replace(
+            embedding=emb,
+            embedding_output=emb_out,
+            ema_cluster_size=size,
+            ema_w=ema_w,
+            bn_feat_mean=r_mean,
+            bn_feat_var=r_var,
+            c_indices=c_indices,
+            bad_init=state.bad_init | jnp.any(bad),
+        ),
+        idx,
+    )
+
+
+def vq_update(
+    state: VQState,
+    X_B: jnp.ndarray,  # [nb, B, D] layer-input slices (detached)
+    grad: jnp.ndarray,  # [nb, B, Dg] grads of the layer-output slices
+    batch_idx: jnp.ndarray,  # [B]
+    p: VQParams,
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[VQState, jnp.ndarray]:
+    """Joint feature+gradient codebook update (``vq.py:204-279``) — the body
+    of the reference's backward hook.  BN-normalize [X_B || grad] (lazily
+    seeding the running stats on first call, vq.py:216-221), scale the grad
+    half, nearest-codeword assign, EMA k-means, then store a de-normalized
+    copy for lookups."""
+    D, Dg = p.num_D, p.grad_dim
+    gs0, gs1 = p.grad_scale
+
+    # Lazy BN seeding from this batch's (unbiased) stats, shared decision
+    # across branches via the scalar bn_inited flag.
+    def seed(x, r_mean, r_var):
+        b_mean, b_var_u = masked_mean_var(x, valid, ddof=1)
+        m = jnp.where(state.bn_inited, r_mean, b_mean)
+        v = jnp.where(state.bn_inited, r_var, b_var_u)
+        return m, v
+
+    def one_branch(x, g, emb, emb_out, size, ema_w, f_mean, f_var, g_mean, g_var):
+        f_mean, f_var = seed(x, f_mean, f_var)
+        g_mean, g_var = seed(g, g_mean, g_var)
+        xn_f, f_mean, f_var = _bn_train(
+            x, f_mean, f_var, BN_FEAT_EPS, BN_FEAT_MOMENTUM, valid
+        )
+        xn_g, g_mean, g_var = _bn_train(g, g_mean, g_var, p.epsilon, p.momentum, valid)
+        xn = jnp.concatenate([xn_f, xn_g], axis=1)
+        scale = jnp.ones((p.total_dim,), jnp.float32).at[D : 2 * D].set(gs0)
+        if p.add_flag:
+            scale = scale.at[2 * D].set(gs1)
+        xn = xn * scale[None, :]
+
+        idx = nearest_codeword(xn, emb)
+        counts, sums = assignment_stats(xn, idx, p.num_M, valid)
+        new_size = _ema_counts(size, counts, p)
+        bad = jnp.any(new_size == 0)
+        new_ema_w = ema_w * p.decay + (1.0 - p.decay) * sums
+        new_emb = new_ema_w / new_size[:, None]
+
+        # De-normalize for the lookup table (vq.py:261-272): undo grad_scale
+        # on the grad half only, then undo BN with the *running* stats
+        # (post-update).
+        div = jnp.ones((p.total_dim,), jnp.float32).at[D : 2 * D].set(gs0 + p.epsilon)
+        if p.add_flag:
+            div = div.at[2 * D].set(gs1 + p.epsilon)
+        out = new_emb / div[None, :]
+        run_var = jnp.concatenate([f_var + BN_FEAT_EPS, g_var + p.epsilon])
+        run_mean = jnp.concatenate([f_mean, g_mean])
+        out = out * jnp.sqrt(run_var)[None, :] + run_mean[None, :]
+        if gs0 == 0:  # static python float check (vq.py:274-275)
+            out = out.at[:, D:].set(0.0)
+        return new_emb, out, new_size, new_ema_w, f_mean, f_var, g_mean, g_var, idx, bad
+
+    emb, emb_out, size, ema_w, f_mean, f_var, g_mean, g_var, idx, bad = jax.vmap(
+        one_branch
+    )(
+        X_B,
+        grad,
+        state.embedding,
+        state.embedding_output,
+        state.ema_cluster_size,
+        state.ema_w,
+        state.bn_feat_mean,
+        state.bn_feat_var,
+        state.bn_grad_mean,
+        state.bn_grad_var,
+    )
+    c_indices = state.c_indices.at[:, batch_idx].set(
+        idx.astype(jnp.int16), mode="drop"
+    )
+    return (
+        state.replace(
+            embedding=emb,
+            embedding_output=emb_out,
+            ema_cluster_size=size,
+            ema_w=ema_w,
+            bn_feat_mean=f_mean,
+            bn_feat_var=f_var,
+            bn_grad_mean=g_mean,
+            bn_grad_var=g_var,
+            c_indices=c_indices,
+            bn_inited=jnp.asarray(True),
+            bad_init=state.bad_init | jnp.any(bad),
+        ),
+        idx,
+    )
+
+
+def lookup(state: VQState, node_ids: jnp.ndarray, p: VQParams):
+    """Codebook lookup for out-of-batch nodes (``models.py v2:168-173``).
+
+    node_ids [n] -> (features [n, nb*D], grads [n, nb*Dg]) assembled in
+    branch-slice order (branch i covers columns i*D:(i+1)*D).
+    """
+    c = jnp.take(state.c_indices, node_ids, axis=1).astype(jnp.int32)  # [nb, n]
+    table = jax.vmap(lambda eo, ci: jnp.take(eo, ci, axis=0))(
+        state.embedding_output, c
+    )  # [nb, n, K]
+    nb, n, _ = table.shape
+    feats = jnp.transpose(table[:, :, : p.num_D], (1, 0, 2)).reshape(n, nb * p.num_D)
+    grads = jnp.transpose(table[:, :, p.num_D :], (1, 0, 2)).reshape(n, nb * p.grad_dim)
+    return feats, grads

@@ -1,0 +1,66 @@
+"""VQ assignment primitives: nearest-codeword search + cluster statistics.
+
+Reference hot loop (``vq_gnn_v2/vq.py:229-256``): dense distance GEMM
+``[B, K] x [K, M]`` + argmin, then a one-hot GEMM for per-cluster sums.  Both
+map straight onto the MXU; masked variants handle padded batch rows.  A fused
+Pallas kernel (distance -> argmin -> stats in one VMEM pass) can be slotted in
+behind the same interface.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Assignments and EMA statistics always run at exact-f32 precision, even when
+# the model path uses single-pass bf16 MXU matmuls: wrong nearest-codeword
+# argmins corrupt c_indices state, and the EMA divides by small cluster sizes.
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+def nearest_codeword(xn: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+    """argmin_m ||xn_b - emb_m||^2 via the expanded-square distance GEMM.
+
+    xn: [B, K], emb: [M, K] -> [B] int32.
+    """
+    d = (
+        jnp.sum(xn**2, axis=1, keepdims=True)
+        + jnp.sum(emb**2, axis=1)[None, :]
+        - 2.0 * jnp.dot(
+            xn, emb.T, preferred_element_type=jnp.float32, precision=_EXACT
+        )
+    )
+    return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+
+def assignment_stats(xn: jnp.ndarray, idx: jnp.ndarray, num_M: int, valid=None):
+    """Per-cluster (counts [M], sums [M, K]) via a one-hot GEMM (MXU).
+
+    Padded rows (``valid == False``) contribute nothing.
+    """
+    onehot = (idx[:, None] == jnp.arange(num_M, dtype=jnp.int32)[None, :]).astype(
+        xn.dtype
+    )
+    if valid is not None:
+        onehot = onehot * valid.astype(xn.dtype)[:, None]
+    counts = jnp.sum(onehot, axis=0)
+    sums = jnp.dot(
+        onehot.T, xn, preferred_element_type=jnp.float32, precision=_EXACT
+    )
+    return counts, sums
+
+
+def masked_mean_var(x: jnp.ndarray, valid=None, ddof: int = 0):
+    """Column mean/variance over valid rows. Matches torch semantics:
+    ddof=0 (biased) for BatchNorm normalization, ddof=1 (unbiased) for
+    running-stat updates and seeding (``vq.py:208-220``)."""
+    if valid is None:
+        n = jnp.float32(x.shape[0])
+        mean = jnp.mean(x, axis=0)
+        var = jnp.sum((x - mean[None, :]) ** 2, axis=0) / jnp.maximum(n - ddof, 1.0)
+        return mean, var
+    v = valid.astype(x.dtype)[:, None]
+    n = jnp.maximum(jnp.sum(v), 1.0)
+    mean = jnp.sum(x * v, axis=0) / n
+    var = jnp.sum(((x - mean[None, :]) ** 2) * v, axis=0) / jnp.maximum(n - ddof, 1.0)
+    return mean, var

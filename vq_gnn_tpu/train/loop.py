@@ -1,0 +1,174 @@
+"""Node-classification trainer — the reference ``main_node.py`` loop.
+
+Orchestration (SURVEY §3.1/§3.2): layerwise codebook init sweep over the test
+loader, per-epoch training with warm-up rate and the manual linear lr ramp,
+stochastic batched evaluation, best-by-valid logging.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vq_gnn_tpu.config import Config
+from vq_gnn_tpu.graph.store import HostGraph
+from vq_gnn_tpu.nn.model import ModelStatic, model_static
+from vq_gnn_tpu.sampler.samplers import BatchLoader
+from vq_gnn_tpu.train.state import TrainState, init_train_state
+from vq_gnn_tpu.train.step import make_step_fns
+from vq_gnn_tpu.utils.logger import AverageValueMeter, Logger
+from vq_gnn_tpu.utils.metrics import accuracy, micro_f1
+
+
+def device_features(x: np.ndarray) -> jnp.ndarray:
+    """[N+1, F] feature table with a zero dustbin row for padded slots."""
+    return jnp.asarray(np.concatenate([x, np.zeros((1, x.shape[1]), x.dtype)]))
+
+
+class NodeTrainer:
+    def __init__(
+        self,
+        graph: HostGraph,
+        cfg: Config,
+        num_classes: int,
+        cluster_indices=None,
+        use_ogb_acc: Optional[bool] = None,
+    ):
+        jax.config.update("jax_default_matmul_precision", cfg.matmul_precision)
+        self.graph = graph
+        self.cfg = cfg
+        self.multilabel = graph.y is not None and graph.y.ndim > 1 and graph.y.shape[1] > 1
+        self.ms: ModelStatic = model_static(cfg, graph.num_features, num_classes)
+        self.X_dev = device_features(graph.x)
+        self.use_ogb_acc = (
+            use_ogb_acc if use_ogb_acc is not None else not self.multilabel
+        )
+
+        self.train_loader = BatchLoader(
+            graph, cfg, train_flag=True, cluster_indices=cluster_indices, seed=cfg.seed
+        )
+        test_sampler = "cluster" if cluster_indices is not None else "node"
+        self.test_loader = BatchLoader(
+            graph,
+            cfg,
+            train_flag=False,
+            sampler_type=test_sampler,
+            cluster_indices=cluster_indices,
+            batch_size=cfg.test_batch_size,
+            shuffle=False,
+            seed=cfg.seed + 1,
+        )
+
+        self.fns = make_step_fns(self.ms, cfg, self.multilabel)
+        self.state: TrainState = init_train_state(
+            jax.random.PRNGKey(cfg.seed), self.ms, graph.num_nodes
+        )
+        self.rng = jax.random.PRNGKey(cfg.seed + 17)
+        self.logger = Logger(cfg.runs, cfg)
+
+    # ---- layerwise codebook bootstrap (main_node.py v2:17-37) ----
+    def run_init_sweep(self, verbose: bool = False):
+        for layer_idx in range(1, self.ms.num_layers + 1):
+            if verbose:
+                print(f"init sweep layer {layer_idx}")
+            step = self.fns.init_step_for(layer_idx)
+            for windows, _ in self.test_loader:
+                batch = windows[0]
+                new_vq = step(self.state.vq_states, self.state.params, self.X_dev, batch)
+                self.state = self.state.replace(vq_states=new_vq)
+
+    def warm_up_rate(self, epoch: int) -> float:
+        cfg = self.cfg
+        if cfg.warm_up and epoch <= cfg.warm_up_epochs:
+            return epoch / cfg.warm_up_epochs
+        return 1.0
+
+    def lr_at(self, epoch: int) -> float:
+        cfg = self.cfg
+        if cfg.sche:
+            return cfg.lr * epoch / 200 if epoch < 200 else cfg.lr
+        return cfg.lr
+
+    # ---- one training epoch (main_node.py v2:39-122) ----
+    def train_epoch(self, epoch: int, verbose: bool = False):
+        cfg = self.cfg
+        loss_meter, loss_cls_meter = AverageValueMeter(), AverageValueMeter()
+        wur = self.warm_up_rate(epoch)
+        lr = self.lr_at(epoch)
+        have_train_mask = self.graph.train_mask is not None
+
+        for windows, raw_idx in self.train_loader:
+            for j, batch in enumerate(windows):
+                if have_train_mask:
+                    n_train = int(self.graph.train_mask[raw_idx[j]].sum())
+                    if n_train <= 0:  # skip unlabeled batches (v2:60-63)
+                        continue
+                do_opt = 0.0 if (len(windows) > 1 and j == 0) else 1.0
+                self.rng, sub = jax.random.split(self.rng)
+                self.state, metrics = self.fns.train_step(
+                    self.state,
+                    self.X_dev,
+                    batch,
+                    jnp.float32(wur),
+                    jnp.float32(lr),
+                    jnp.float32(do_opt),
+                    sub,
+                )
+                loss_meter.add(float(metrics["loss"]))
+                loss_cls_meter.add(float(metrics["loss_cls"]))
+                if bool(metrics["bad_init"]):
+                    raise ValueError("Bad Init!")
+                if verbose:
+                    print(
+                        f"batch window {j}: loss {float(metrics['loss']):.4f} "
+                        f"acc {float(metrics['train_acc']):.4f}"
+                    )
+        return loss_meter.value()[0], loss_cls_meter.value()[0]
+
+    # ---- stochastic batched evaluation (main_node.py v2:125-156) ----
+    def predict_all(self) -> np.ndarray:
+        outs = []
+        for windows, raw_idx in self.test_loader:
+            batch = windows[0]
+            out = self.fns.eval_step(self.state, self.X_dev, batch)
+            outs.append(np.asarray(out)[: len(raw_idx[0])])
+        return np.concatenate(outs, axis=0)
+
+    def evaluate(self):
+        outs = self.predict_all()
+        g = self.graph
+        metric = accuracy if self.use_ogb_acc else micro_f1
+        if self.use_ogb_acc and g.y.ndim > 1:
+            y = g.y.reshape(-1)
+        else:
+            y = g.y
+        return (
+            metric(outs, y, g.train_mask),
+            metric(outs, y, g.val_mask),
+            metric(outs, y, g.test_mask),
+        )
+
+    # ---- full run (main_node.py v2:233-308) ----
+    def fit(self, run: int = 0, verbose: bool = True):
+        cfg = self.cfg
+        self.run_init_sweep(verbose=verbose)
+        if verbose:
+            print("init done")
+        for epoch in range(1, cfg.epochs + 1):
+            t0 = time.time()
+            loss, loss_cls = self.train_epoch(epoch)
+            result = self.evaluate()
+            self.logger.add_result(run, result)
+            if verbose and epoch % cfg.log_steps == 0:
+                tr, va, te = result
+                print(
+                    f"Run: {run + 1}, Epoch: {epoch}, Loss: {loss:.4f}, "
+                    f"Loss Cls: {loss_cls:.4f}, Train: {100 * tr:.2f}%, "
+                    f"Valid: {100 * va:.2f}%, Test: {100 * te:.2f}% "
+                    f"[{time.time() - t0:.1f}s]"
+                )
+        return self.logger.statistics(run)

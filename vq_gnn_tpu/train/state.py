@@ -1,0 +1,38 @@
+"""Train state container."""
+
+from __future__ import annotations
+
+from typing import Any, List
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vq_gnn_tpu.config import Config
+from vq_gnn_tpu.nn.model import ModelStatic, init_bn_state, init_params
+from vq_gnn_tpu.nn.vq import init_vq_state
+from vq_gnn_tpu.train.optim import init_rmsprop
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any  # list of per-layer param dicts
+    vq_states: Any  # list of per-layer VQState
+    bn_state: Any  # BNState
+    opt_nu: Any  # RMSprop square-avg tree (matches params)
+    step: jnp.ndarray
+
+
+def init_train_state(rng, ms: ModelStatic, num_N: int) -> TrainState:
+    k_p, *k_vq = jax.random.split(rng, 1 + ms.num_layers)
+    params = init_params(k_p, ms)
+    vq_states = [
+        init_vq_state(k_vq[l], ms.num_branches[l], num_N, ms.vq)
+        for l in range(ms.num_layers)
+    ]
+    return TrainState(
+        params=params,
+        vq_states=vq_states,
+        bn_state=init_bn_state(ms),
+        opt_nu=init_rmsprop(params),
+        step=jnp.zeros((), jnp.int32),
+    )

@@ -1,0 +1,199 @@
+"""Jitted train / eval / init-sweep steps.
+
+One training step reproduces the reference hot path (SURVEY §3.1) as a single
+XLA program:
+
+1. gather batch features from the device-resident feature table,
+2. forward through the LowRankGNN stack (probes added at each conv output),
+3. loss = masked CE/BCE + info_backward,
+4. one ``jax.grad`` over (params, probes) — the probe gradients are exactly
+   what the reference's backward hooks receive,
+5. torch-parity RMSprop update (gated by ``do_opt_step`` for multi-window
+   batches, ``main_node.py v2:113-116``),
+6. in 'live' mode: the functional VQ codebook update per layer (the hook
+   body), visible to the *next* batch — matching reference hook timing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from vq_gnn_tpu.config import Config
+from vq_gnn_tpu.nn.model import (
+    ModelStatic,
+    activation,
+    layer_forward,
+    model_forward,
+    zero_probes,
+)
+from vq_gnn_tpu.nn.vq import feature_update, vq_update
+from vq_gnn_tpu.sampler.batch import PaddedBatch
+from vq_gnn_tpu.train.optim import rmsprop_update
+from vq_gnn_tpu.train.state import TrainState
+
+
+def _branch_view(x: jnp.ndarray, nb: int, d: int) -> jnp.ndarray:
+    """[B, nb*d] -> [nb, B, d] per-branch slices (branch i = cols i*d:(i+1)*d)."""
+    B = x.shape[0]
+    return jnp.transpose(x.reshape(B, nb, d), (1, 0, 2))
+
+
+def masked_ce(logits, y, mask):
+    logz = jax.nn.log_softmax(logits)
+    ll = jnp.take_along_axis(logz, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+    m = mask.astype(logits.dtype)
+    return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def masked_bce(logits, y, mask):
+    per = jnp.maximum(logits, 0) - logits * y + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    m = mask.astype(logits.dtype)[:, None]
+    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m) * logits.shape[1], 1.0)
+
+
+def masked_accuracy(logits, y, mask):
+    hit = (jnp.argmax(logits, axis=-1) == y).astype(jnp.float32)
+    m = mask.astype(jnp.float32)
+    return jnp.sum(hit * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+@dataclasses.dataclass
+class StepFns:
+    train_step: Callable
+    eval_step: Callable
+    init_step_for: Callable  # layer_idx -> jitted init-sweep step
+
+
+def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
+    live = cfg.vq_update_mode == "live"
+    D = ms.num_D
+
+    # ---------------- train ----------------
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(
+        state: TrainState,
+        X_dev: jnp.ndarray,
+        batch: PaddedBatch,
+        warm_up_rate,
+        lr,
+        do_opt_step,
+        rng,
+    ):
+        probes = zero_probes(ms, batch.B_pad)
+
+        def loss_fn(params, probes):
+            x_B = jnp.take(X_dev, batch.batch_idx, axis=0)
+            out, info_b, layer_inputs, new_bn = model_forward(
+                params,
+                state.vq_states,
+                state.bn_state,
+                ms,
+                x_B,
+                batch,
+                probes=probes,
+                warm_up_rate=warm_up_rate,
+                training=True,
+                rng=rng,
+            )
+            mask = batch.train_mask & batch.valid_B
+            if multilabel:
+                loss_cls = masked_bce(out, batch.y, mask)
+                acc = jnp.float32(0.0)
+            else:
+                loss_cls = masked_ce(out, batch.y, mask)
+                acc = masked_accuracy(out, batch.y, mask)
+            loss = loss_cls if cfg.ce_only else loss_cls + info_b
+            return loss, (layer_inputs, new_bn, loss_cls, acc, info_b)
+
+        (loss, aux), (g_params, g_probes) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, probes)
+        layer_inputs, new_bn, loss_cls, acc, info_b = aux
+
+        new_params, new_nu = rmsprop_update(
+            state.params, g_params, state.opt_nu, lr, do_opt_step
+        )
+
+        new_vq = list(state.vq_states)
+        if live:
+            # the reference hook body (models.py v2:39-56): X_B = layer input
+            # slice (detached), grad = dL/d(output slice); runs even on
+            # skipped-optimizer windows (backward always fires hooks).
+            for l in range(ms.num_layers):
+                nb = ms.num_branches[l]
+                c = nb * D
+                Xb = _branch_view(jax.lax.stop_gradient(layer_inputs[l]), nb, D)
+                Gb = _branch_view(g_probes[l][:, :c], nb, D)
+                new_vq[l], _ = vq_update(
+                    new_vq[l], Xb, Gb, batch.batch_idx, ms.vq, valid=batch.valid_B
+                )
+
+        metrics = {
+            "loss": loss,
+            "loss_cls": loss_cls,
+            "train_acc": acc,
+            "info_backward": info_b,
+            "bad_init": jnp.any(jnp.stack([s.bad_init for s in new_vq])),
+        }
+        return (
+            TrainState(
+                params=new_params,
+                vq_states=new_vq,
+                bn_state=new_bn,
+                opt_nu=new_nu,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    # ---------------- eval ----------------
+    @jax.jit
+    def eval_step(state: TrainState, X_dev: jnp.ndarray, batch: PaddedBatch):
+        x_B = jnp.take(X_dev, batch.batch_idx, axis=0)
+        out, _, _, _ = model_forward(
+            state.params,
+            state.vq_states,
+            state.bn_state,
+            ms,
+            x_B,
+            batch,
+            training=False,
+        )
+        return out
+
+    # ---------------- layerwise init sweep ----------------
+    _init_cache: Dict[int, Callable] = {}
+
+    def init_step_for(layer_idx: int) -> Callable:
+        if layer_idx in _init_cache:
+            return _init_cache[layer_idx]
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def init_step(vq_states, params, X_dev, batch: PaddedBatch):
+            """model.init partial forward (``models.py v2:370-374`` +
+            ``main_node.py v2:17-37``): every still-uninited block runs
+            feature_update on the current activations, then the layer
+            forward uses the freshly updated codebook."""
+            x = jnp.take(X_dev, batch.batch_idx, axis=0)
+            new_states = list(vq_states)
+            for l in range(layer_idx):
+                nb = ms.num_branches[l]
+                Xb = _branch_view(x, nb, D)
+                new_states[l], _ = feature_update(
+                    new_states[l], Xb, batch.batch_idx, ms.vq, valid=batch.valid_B
+                )
+                x, _ = layer_forward(
+                    params[l], new_states[l], ms, x, batch, None, 1.0, False
+                )
+                x = activation(x, ms.act)
+            return new_states
+
+        _init_cache[layer_idx] = init_step
+        return init_step
+
+    return StepFns(train_step=train_step, eval_step=eval_step, init_step_for=init_step_for)
