@@ -76,10 +76,18 @@ def main():
     loader = BatchLoader(g, cfg, train_flag=True, cluster_indices=cluster_indices)
     windows, _ = next(iter(loader))
     batch = windows[0]
-    E_batch = int(np.asarray(batch.edges.val != 0).sum())
+    if batch.edges.ell_val is not None:
+        E_batch = int(np.asarray(batch.edges.ell_val != 0).sum())
+        layout = (
+            f"ELL K={cfg.ell_K} S_pad={batch.edges.ell_row.shape[0]} "
+            f"St_pad={batch.edges.t_ell_row.shape[0]}"
+        )
+    else:
+        E_batch = int(np.asarray(batch.edges.val != 0).sum())
+        layout = f"E_pad={batch.edges.row.shape[0]}"
     log(
         f"batch: B={int(batch.num_B)} B_pad={batch.B_pad} Bp_pad={batch.Bp_pad} "
-        f"E={E_batch} E_pad={batch.edges.row.shape[0]}"
+        f"E={E_batch} {layout}"
     )
 
     args = (

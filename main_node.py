@@ -43,9 +43,16 @@ def parse_args():
     p.add_argument("--runs", type=int, default=1)
     p.add_argument("--log-steps", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--transformer-flag", action="store_true")
     # TPU-framework extras
+    p.add_argument("--formulation", type=str, default="bbprime",
+                   choices=["bbprime", "bm"],
+                   help="bbprime = v2 B+B' (arxiv/ppi/collab); bm = v1 B+M "
+                        "mapper (reddit/flickr)")
     p.add_argument("--vq-update-mode", type=str, default="live",
                    choices=["live", "reference"])
+    p.add_argument("--spmm-backend", type=str, default="ell",
+                   choices=["ell", "coo"])
     p.add_argument("--matmul-precision", type=str, default="highest",
                    choices=["highest", "default"])
     return p.parse_args()
@@ -87,7 +94,10 @@ def main():
         runs=a.runs,
         log_steps=a.log_steps,
         seed=a.seed,
+        transformer_flag=a.transformer_flag,
+        formulation=a.formulation,
         vq_update_mode=a.vq_update_mode,
+        spmm_backend=a.spmm_backend,
         matmul_precision=a.matmul_precision,
     )
     print(cfg)

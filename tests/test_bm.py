@@ -1,0 +1,264 @@
+"""v1 "B+M" formulation parity: dense mapper oracle vs the per-edge layer.
+
+The oracle builds the reference mapper's (B+M)^2 matrix literally
+(``vq_gnn_v1/utils/dataloader.py:144-192``): codeword-mapped neighbor columns,
+reverse rows, recovery add/subtract, coalesce + keep-positive, deg_inv
+self-loops, GCN to_symmetric — then runs the dense conv
+(``vq_gnn_v1/models.py:143-233``) including GAT per-branch attention with the
+explosion scale.  The framework's layer must match on out_B and info_backward.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vq_gnn_tpu.config import Config
+from vq_gnn_tpu.graph.datasets import prepare, synthetic_sbm
+from vq_gnn_tpu.nn.model import layer_forward_bm, model_static, init_params
+from vq_gnn_tpu.nn.vq import init_vq_state
+from vq_gnn_tpu.sampler.samplers import BatchLoader
+
+
+def dense_mapper(adj, c, num_M, conv_type, batch_idx, deg_inv, recovery, train):
+    """Reference mapper as dense numpy."""
+    N = adj.shape[0]
+    B = len(batch_idx)
+    dim = B + num_M
+    Mat = np.zeros((dim, dim), np.float64)
+    A = adj.toarray().astype(np.float64)
+    in_batch = np.zeros(N, bool)
+    in_batch[batch_idx] = True
+
+    # A_BN with columns mapped to codeword rows
+    for bi, i in enumerate(batch_idx):
+        for j in np.nonzero(A[i])[0]:
+            Mat[bi, B + c[j]] += A[i, j]
+    # reverse rows (non-GCN, train): A_NB = deg*A*deg_inv on reversed edges
+    deg = 1.0 / np.where(deg_inv > 0, deg_inv, np.inf)
+    if conv_type != "GCN" and train:
+        for bi, i in enumerate(batch_idx):
+            for j in np.nonzero(A[i])[0]:
+                Mat[B + c[j], bi] += A[i, j] * deg[i] * deg_inv[j]
+    # recovery: add exact A_BB, subtract its codeword-mapped copy
+    if recovery and train:
+        for bi, i in enumerate(batch_idx):
+            for bj, j in enumerate(batch_idx):
+                if A[i, j] != 0:
+                    Mat[bi, bj] += A[i, j]
+                    Mat[bi, B + c[j]] -= A[i, j]
+                    if conv_type != "GCN":
+                        # reference subtracts the RAW A_BB value on the
+                        # reverse side (v1/utils/dataloader.py:162-168), NOT
+                        # the reverse-normalized one — the mismatch is why
+                        # the per-cell positive clamp is live
+                        Mat[B + c[i], bj] -= A[i, j]
+    # coalesce + keep strictly positive
+    Mat = np.where(Mat > 1e-12, Mat, 0.0)
+    # self-loops value deg_inv (mapper 182-185)
+    if conv_type != "SAGE":
+        for bi, i in enumerate(batch_idx):
+            Mat[bi, bi] += deg_inv[i]
+    if conv_type == "GCN":
+        Mat = Mat + Mat.T
+    return Mat
+
+
+def dense_v1_layer(Mat, X_B, X_bar, G_bar, warm, conv_type, att=None):
+    """Dense v1 per-branch conv + info_backward (v1/models.py:166-233)."""
+    B = X_B.shape[0]
+    X_in = np.concatenate([X_B, X_bar * warm], axis=0)
+    if conv_type == "GAT":
+        X_in = np.concatenate([X_in, np.ones((X_in.shape[0], 1))], axis=1)
+        att_l, att_r = att
+        al, ar = X_in @ att_l, X_in @ att_r
+        scale = np.sqrt(al.max() ** 2 + 1) * np.sqrt(ar.max() ** 2 + 1)
+        al, ar = al / scale, ar / scale
+        a = al[None, :] + ar[:, None]  # alpha(row r, col c) = al[c] + ar[r]
+        a = np.where(a >= 0, a, 0.2 * a)
+        W = np.exp(a) * Mat
+        out = W @ X_in
+    else:
+        out = Mat @ X_in
+    out_B, out_M = out[:B], out[B:]
+    info = float((out_M * G_bar * warm).sum())
+    if conv_type == "GAT":
+        out_B = out_B[:, :-1] / (out_B[:, -1:] + 1e-16)
+    return out_B, info
+
+
+@pytest.mark.parametrize("conv_type", ["GCN", "SAGE", "GAT"])
+@pytest.mark.parametrize("recovery", [True, False])
+def test_bm_layer_matches_dense_mapper(conv_type, recovery):
+    D, nb, M = 2, 2, 4
+    cfg = Config(
+        dataset="synthetic",
+        formulation="bm",
+        conv_type=conv_type,
+        recovery_flag=recovery,
+        num_layers=2,
+        hidden_channels=4,
+        num_D=D,
+        num_M=M,
+        batch_size=8,
+        test_batch_size=30,
+        pad_multiple_nodes=8,
+        pad_multiple_edges=64,
+        warm_up_flag=True,
+        skip=True,
+    )
+    g, c_ = synthetic_sbm(num_nodes=30, num_features=4, num_classes=3, seed=4)
+    g, c_, _ = prepare(g, cfg, c_)
+    ms = model_static(cfg, g.num_features, 3)
+
+    rng = jax.random.PRNGKey(0)
+    params = init_params(rng, ms)
+    vq = init_vq_state(jax.random.PRNGKey(1), nb, g.num_nodes, ms.vq)
+    # give the codebook a non-trivial de-normalized table
+    emb_out = jax.random.normal(
+        jax.random.PRNGKey(2), vq.embedding_output.shape
+    )
+    vq = vq.replace(embedding_output=emb_out)
+
+    loader = BatchLoader(g, cfg, train_flag=True, shuffle=False, seed=0)
+    windows, raw = next(iter(loader))
+    batch, node_idx = windows[0], raw[0]
+    B = len(node_idx)
+
+    warm = 0.7
+    x = jnp.asarray(g.x[node_idx])
+    x_pad = jnp.zeros((batch.B_pad, g.num_features)).at[:B].set(x)
+    out, info = layer_forward_bm(
+        params[0], vq, ms, x_pad, batch, None, jnp.float32(warm), True
+    )
+
+    # dense oracle, branch by branch
+    c_all = np.asarray(vq.c_indices)[:, : g.num_nodes]
+    Dg = D + (1 if ms.vq.add_flag else 0)
+    outs, info_ref = [], 0.0
+    for b in range(nb):
+        Mat = dense_mapper(
+            g.adj, c_all[b], M, conv_type, node_idx, g.deg_inv, recovery, True
+        )
+        X_B_b = np.asarray(x)[:, b * D : (b + 1) * D]
+        table = np.asarray(emb_out[b])
+        X_bar = table[:, :D]
+        G_bar = table[:, D:]
+        att = None
+        if conv_type == "GAT":
+            att = (
+                np.asarray(params[0]["att_l"][b]),
+                np.asarray(params[0]["att_r"][b]),
+            )
+        o_b, i_b = dense_v1_layer(Mat, X_B_b, X_bar, G_bar, warm, conv_type, att)
+        outs.append(o_b)
+        info_ref += i_b
+    out_B_ref = np.concatenate(outs, axis=1)
+    lp = params[0]
+    expected = out_B_ref @ np.asarray(lp["gnn_transform"]["w"]) + np.asarray(
+        lp["gnn_transform"]["b"]
+    )
+    if conv_type == "SAGE":
+        expected = expected + np.asarray(x) @ np.asarray(
+            lp["fc_sage"]["w"]
+        ) + np.asarray(lp["fc_sage"]["b"])
+    expected = expected + np.asarray(x) @ np.asarray(
+        lp["linear_skip"]["w"]
+    ) + np.asarray(lp["linear_skip"]["b"])
+
+    np.testing.assert_allclose(
+        np.asarray(out)[:B], expected, rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(float(info), info_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_bm_e2e_training():
+    cfg = Config(
+        dataset="synthetic",
+        formulation="bm",
+        conv_type="GCN",
+        sampler_type="cont",
+        walk_length=2,
+        num_layers=2,
+        hidden_channels=16,
+        num_D=4,
+        num_M=8,
+        batch_size=128,
+        test_batch_size=256,
+        pad_multiple_nodes=64,
+        pad_multiple_edges=512,
+        vq_update_mode="live",
+        lr=0.01,
+    )
+    from vq_gnn_tpu.train.loop import NodeTrainer
+
+    g, c = synthetic_sbm(num_nodes=300, num_features=16, seed=5)
+    g, c, _ = prepare(g, cfg, c)
+    tr = NodeTrainer(g, cfg, c)
+    tr.run_init_sweep()
+    loss, _ = tr.train_epoch(1)
+    assert np.isfinite(loss)
+    res = tr.evaluate()
+    assert all(0.0 <= r <= 1.0 for r in res)
+
+
+def test_bm_gat_e2e():
+    cfg = Config(
+        dataset="synthetic",
+        formulation="bm",
+        conv_type="GAT",
+        num_layers=2,
+        hidden_channels=8,
+        num_D=4,
+        num_M=8,
+        batch_size=128,
+        test_batch_size=256,
+        pad_multiple_nodes=64,
+        pad_multiple_edges=512,
+        vq_update_mode="live",
+    )
+    from vq_gnn_tpu.train.loop import NodeTrainer
+
+    g, c = synthetic_sbm(num_nodes=300, num_features=16, seed=6)
+    g, c, _ = prepare(g, cfg, c)
+    tr = NodeTrainer(g, cfg, c)
+    tr.run_init_sweep()
+    loss, _ = tr.train_epoch(1)
+    assert np.isfinite(loss)
+
+
+def test_bm_transformer_branch_e2e():
+    """v1 transformer_flag: parallel global-attention branch trains."""
+    cfg = Config(
+        dataset="synthetic",
+        formulation="bm",
+        conv_type="GCN",
+        transformer_flag=True,
+        num_layers=2,
+        hidden_channels=8,
+        num_D=4,
+        num_M=8,
+        batch_size=128,
+        test_batch_size=256,
+        pad_multiple_nodes=64,
+        pad_multiple_edges=512,
+        vq_update_mode="live",
+    )
+    from vq_gnn_tpu.train.loop import NodeTrainer
+
+    g, c = synthetic_sbm(num_nodes=300, num_features=16, seed=7)
+    g, c, _ = prepare(g, cfg, c)
+    tr = NodeTrainer(g, cfg, c)
+    tr.run_init_sweep()
+    assert tr.state.vq_states_tr is not None
+    emb0 = [np.asarray(s.embedding) for s in tr.state.vq_states_tr]
+    loss, _ = tr.train_epoch(1)
+    assert np.isfinite(loss)
+    # live mode must update the transformer codebooks too
+    changed = any(
+        not np.array_equal(np.asarray(s.embedding), e0)
+        for s, e0 in zip(tr.state.vq_states_tr, emb0)
+    )
+    assert changed
+    res = tr.evaluate()
+    assert all(0.0 <= r <= 1.0 for r in res)

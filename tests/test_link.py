@@ -1,0 +1,91 @@
+"""Link-prediction subsystem tests."""
+
+import numpy as np
+import jax
+import pytest
+
+from vq_gnn_tpu.config import Config
+from vq_gnn_tpu.graph.datasets import prepare, synthetic_sbm
+from vq_gnn_tpu.train.link import LinkTrainer, SplitEdges
+from vq_gnn_tpu.utils.metrics import hits_at_k, mrr
+
+
+def make_split(g, rng, n_valid=50, n_test=50):
+    coo = g.adj.tocoo()
+    edges = np.stack([coo.row, coo.col], axis=1)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    perm = rng.permutation(len(edges))
+    e = edges[perm]
+    rand_pairs = lambda n: np.stack(
+        [rng.randint(0, g.num_nodes, n), rng.randint(0, g.num_nodes, n)], axis=1
+    )
+    return SplitEdges(
+        train_pos=e[: len(e) - n_valid - n_test],
+        valid_pos=e[len(e) - n_valid - n_test : len(e) - n_test],
+        valid_neg=rand_pairs(200),
+        test_pos=e[len(e) - n_test :],
+        test_neg=rand_pairs(200),
+    )
+
+
+def test_link_trainer_learns():
+    cfg = Config(
+        dataset="synthetic",
+        conv_type="GCN",
+        num_layers=2,
+        hidden_channels=16,
+        num_D=4,
+        num_M=8,
+        batch_size=200,
+        test_batch_size=400,
+        skip=True,
+        pad_multiple_nodes=64,
+        pad_multiple_edges=512,
+        lr=0.003,
+    )
+    rng = np.random.RandomState(0)
+    g, c = synthetic_sbm(num_nodes=400, num_features=16, seed=2)
+    g, c, _ = prepare(g, cfg, c)
+    split = make_split(g, rng)
+    tr = LinkTrainer(g, cfg, split)
+    tr.run_init_sweep()
+    for epoch in range(1, 9):
+        loss = tr.train_epoch(epoch)
+    assert np.isfinite(loss)
+    train_h, valid_h, test_h = tr.evaluate_hits(k=50)
+    assert 0.0 <= valid_h <= 1.0 and 0.0 <= test_h <= 1.0
+    # positives should outrank random negatives after a few epochs
+    assert test_h > 0.3, test_h
+
+
+def test_hits_and_mrr_metrics():
+    pos = np.array([0.9, 0.8, 0.1])
+    neg = np.array([0.5, 0.4, 0.3, 0.2])
+    assert hits_at_k(pos, neg, 2) == pytest.approx(2 / 3)
+    p = np.array([0.9, 0.2])
+    n = np.array([[0.5, 0.1], [0.5, 0.1]])
+    # first: rank 1 -> 1.0; second: rank 2 -> 0.5
+    assert mrr(p, n) == pytest.approx(0.75)
+
+
+def test_clip_path_runs():
+    cfg = Config(
+        dataset="synthetic",
+        conv_type="GAT",
+        num_layers=2,
+        hidden_channels=16,
+        num_D=4,
+        num_M=8,
+        batch_size=200,
+        test_batch_size=400,
+        clip=(1.0, 0.1),
+        pad_multiple_nodes=64,
+        pad_multiple_edges=512,
+    )
+    rng = np.random.RandomState(1)
+    g, c = synthetic_sbm(num_nodes=300, num_features=16, seed=3)
+    g, c, _ = prepare(g, cfg, c)
+    tr = LinkTrainer(g, cfg, make_split(g, rng))
+    tr.run_init_sweep()
+    loss = tr.train_epoch(1)
+    assert np.isfinite(loss)

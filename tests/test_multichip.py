@@ -33,7 +33,9 @@ def test_sharded_train_step_matches_single_device():
     g, c = synthetic_sbm(num_nodes=400, num_features=16, seed=0)
     g, c, _ = prepare(g, cfg, c)
     ms = model_static(cfg, g.num_features, c)
+    # train_step donates its state argument, so build two identical states
     state = init_train_state(jax.random.PRNGKey(0), ms, g.num_nodes)
+    state_b = init_train_state(jax.random.PRNGKey(0), ms, g.num_nodes)
     fns = make_step_fns(ms, cfg, multilabel=False)
     X_dev = device_features(g.x)
     loader = BatchLoader(g, cfg, train_flag=True)
@@ -44,15 +46,19 @@ def test_sharded_train_step_matches_single_device():
     s1, m1 = fns.train_step(state, X_dev, batch, *args)
 
     mesh = make_mesh(8)
-    state_s, X_s, batch_s = shard_train_inputs(mesh, state, X_dev, batch)
+    state_s, X_s, batch_s = shard_train_inputs(mesh, state_b, X_dev, batch)
     s8, m8 = fns.train_step(state_s, X_s, batch_s, *args)
 
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
-    # parameters and codebooks must match between 1- and 8-device execution
+    # Parameters: RMSprop's first step normalizes by sqrt(0.01*g^2), i.e.
+    # update = +/-10*lr * |g|/(|g|+eps'), so reduction-order fp noise on
+    # near-zero gradients is amplified to ~% of the +/-0.1 update. Compare
+    # with a tolerance well under the update magnitude; the VQ state below
+    # (driven by the same probe gradients) is held to tight tolerance.
     flat1 = jax.tree.leaves(s1.params)
     flat8 = jax.tree.leaves(s8.params)
     for a, b in zip(flat1, flat8):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
     for l in range(ms.num_layers):
         np.testing.assert_allclose(
             np.asarray(s1.vq_states[l].embedding),

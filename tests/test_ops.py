@@ -87,6 +87,69 @@ def test_spmm_without_tperm():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5)
 
 
+def make_ell_edges(row, col, val, n, K=4):
+    from vq_gnn_tpu.ops.spmm import Edges, build_ell_host
+
+    order = np.argsort(row, kind="stable")
+    r, c, v = row[order], col[order], val[order]
+    er, ec, ev = build_ell_host(r, c, v, n, K)
+    to = np.argsort(c, kind="stable")
+    tr, tc, tv = build_ell_host(c[to], r[to], v[to], n, K)
+    return Edges(
+        ell_row=jnp.asarray(er),
+        ell_col=jnp.asarray(ec),
+        ell_val=jnp.asarray(ev),
+        t_ell_row=jnp.asarray(tr),
+        t_ell_col=jnp.asarray(tc),
+        t_ell_val=jnp.asarray(tv),
+        num_rows=n,
+    )
+
+
+def test_ell_spmm_matches_coo():
+    rng = np.random.RandomState(7)
+    n, nnz, d = 40, 250, 8
+    row, col, val = random_coo(rng, n, n, nnz)
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    coo = make_edges(row, col, val, n)
+    ell = make_ell_edges(row, col, val, n, K=4)
+    np.testing.assert_allclose(
+        np.asarray(spmm(ell, x)), np.asarray(spmm(coo, x)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_ell_spmm_vjp():
+    rng = np.random.RandomState(8)
+    n, nnz, d = 30, 150, 4
+    row, col, val = random_coo(rng, n, n, nnz)
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    coo = make_edges(row, col, val, n)
+    ell = make_ell_edges(row, col, val, n, K=4)
+
+    g1 = jax.grad(lambda xx: jnp.sum(spmm(coo, xx) ** 3))(x)
+    g2 = jax.grad(lambda xx: jnp.sum(spmm(ell, xx) ** 3))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+    # d ell_val (the GAT path): compare against COO dval via the slot mapping
+    def f_ell(v):
+        return jnp.sum(spmm(ell.replace(ell_val=v), x) ** 2)
+
+    gv_ell = np.asarray(jax.grad(f_ell)(ell.ell_val))
+
+    def f_coo(v):
+        return jnp.sum(spmm(coo.replace(val=v), x) ** 2)
+
+    gv_coo = np.asarray(jax.grad(f_coo)(coo.val))
+    # rebuild the slot layout from the COO dval and compare (real slots only)
+    from vq_gnn_tpu.ops.spmm import build_ell_host
+
+    er, ec, emap = build_ell_host(
+        np.asarray(coo.row), np.asarray(coo.col), gv_coo, n, 4
+    )
+    mask = np.asarray(ell.ell_val) != 0
+    np.testing.assert_allclose(gv_ell[mask], emap[mask], rtol=1e-4, atol=1e-4)
+
+
 def test_gat_edge_values_dense():
     """exp(leaky_relu(a_l[src] + a_r[dst])) * A_val, with the explosion scale."""
     rng = np.random.RandomState(4)

@@ -86,9 +86,12 @@ class Config:
     # Padding bucket granularity for B' and edge counts (static XLA shapes).
     pad_multiple_nodes: int = 4096
     pad_multiple_edges: int = 16384
-    # Kernel backend for the sparse aggregate: 'xla' (gather+segment_sum) or
-    # 'pallas' (fused row-block kernel).
-    spmm_backend: str = "xla"
+    # Kernel backend for the sparse aggregate:
+    #   'ell' — slot-ELL gather layout with transpose-ELL backward (fastest)
+    #   'coo' — row-sorted COO gather+segment_sum
+    spmm_backend: str = "ell"
+    # Edges per ELL slot (K). 16 balances padding waste vs scatter reduction.
+    ell_K: int = 16
     # Pallas fused VQ assignment kernel on TPU ('xla' fallback elsewhere).
     vq_backend: str = "xla"
     # Compute dtype for the aggregate/matmul path. f32 keeps reference parity;

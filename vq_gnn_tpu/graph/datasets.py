@@ -26,7 +26,13 @@ from vq_gnn_tpu.graph.partition import (
     partition_graph,
     permute_graph,
 )
-from vq_gnn_tpu.graph.store import HostGraph, norm_adj, pad_features, symmetrize
+from vq_gnn_tpu.graph.store import (
+    HostGraph,
+    norm_adj,
+    norm_adj_v1,
+    pad_features,
+    symmetrize,
+)
 
 
 def load_npz(path: str) -> Tuple[HostGraph, int]:
@@ -124,10 +130,51 @@ def prepare(
         graph = permute_graph(graph, perm)
         cluster_indices = cluster_indices_from_ptr(ptr)
 
-    graph = norm_adj(graph, cfg.conv_type)
+    if cfg.formulation == "bm":
+        graph = norm_adj_v1(graph, cfg.conv_type)
+    else:
+        graph = norm_adj(graph, cfg.conv_type)
     if cfg.split:
         graph = pad_features(graph, cfg.num_D)
     return graph, num_classes, cluster_indices
+
+
+def prepare_inductive(graphs, cfg: Config, num_classes: int):
+    """Inductive pipeline (``misc.py:203-210``): symmetrize + normalize each
+    split graph; no cluster sampler; features padded per split."""
+    if cfg.sampler_type == "cluster":
+        raise NotImplementedError("cluster sampler on inductive datasets")
+    out = []
+    for g in graphs:
+        g.adj = symmetrize(g.adj)
+        if cfg.formulation == "bm":
+            g = norm_adj_v1(g, cfg.conv_type)
+        else:
+            g = norm_adj(g, cfg.conv_type)
+        if cfg.split:
+            g = pad_features(g, cfg.num_D)
+        out.append(g)
+    return (*out, num_classes)
+
+
+def synthetic_inductive(
+    num_nodes=300, num_classes=6, num_features=32, multilabel=True, seed=0
+):
+    """Three disjoint graphs drawn from the same SBM distribution (ppi-like).
+    Train graph gets an all-ones train_mask (``misc.py:133-137``)."""
+    graphs = []
+    for i, n in enumerate([num_nodes, num_nodes // 2, num_nodes // 2]):
+        g, c = synthetic_sbm(
+            num_nodes=n,
+            num_classes=num_classes,
+            num_features=num_features,
+            multilabel=multilabel,
+            seed=seed + 101 * i,
+        )
+        g.train_mask = np.ones(n, dtype=bool)
+        g.val_mask = g.test_mask = None
+        graphs.append(g)
+    return graphs, num_classes
 
 
 def get_data(cfg: Config) -> Tuple[HostGraph, int, Optional[list]]:

@@ -110,6 +110,33 @@ def norm_adj(graph: HostGraph, conv_type: str) -> HostGraph:
     return graph
 
 
+def norm_adj_v1(graph: HostGraph, conv_type: str) -> HostGraph:
+    """v1 normalization (``vq_gnn_v1/main_node.py:323-349``): degrees computed
+    as rowsum+1 (GCN/GAT; SAGE without +1), NO diagonal entries — the mapper
+    adds self-loops with value deg_inv at batch time."""
+    adj = graph.adj.astype(np.float32)
+    deg = np.asarray(adj.sum(axis=1)).reshape(-1).astype(np.float32)
+    if conv_type in ("GCN", "GAT"):
+        deg = deg + 1.0
+    with np.errstate(divide="ignore"):
+        dinv = np.power(deg, -1.0)
+        dinv_sqrt = np.power(deg, -0.5)
+    dinv[~np.isfinite(dinv)] = 0.0
+    dinv_sqrt[~np.isfinite(dinv_sqrt)] = 0.0
+
+    coo = adj.tocoo()
+    if conv_type == "GCN":
+        data = dinv_sqrt[coo.row] * coo.data * dinv_sqrt[coo.col]
+    else:  # SAGE / GAT row normalization
+        data = dinv[coo.row] * coo.data
+    graph.adj = sp.csr_matrix(
+        (data.astype(np.float32), (coo.row, coo.col)), shape=adj.shape
+    )
+    graph.deg = deg
+    graph.deg_inv = dinv
+    return graph
+
+
 def pad_features(graph: HostGraph, num_D: int) -> HostGraph:
     """Zero-pad the feature dim to a multiple of num_D (``misc.py:212-219``)."""
     F = graph.x.shape[1]

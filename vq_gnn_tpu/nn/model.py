@@ -52,6 +52,16 @@ class ModelStatic:
     alpha_dropout_flag: bool
     num_D: int
     vq: VQParams
+    # 'bbprime' (v2 B+B') or 'bm' (v1 B+M mapper formulation)
+    formulation: str = "bbprime"
+    # v1 parallel low-rank global-attention branch (v1/models.py:342-362)
+    transformer_flag: bool = False
+
+    @property
+    def vq_tr(self) -> VQParams:
+        """Transformer blocks always quantize the ones-column grad
+        (v1/models.py:272 passes transformer_flag=True -> add_flag=True)."""
+        return dataclasses.replace(self.vq, add_flag=True)
 
     @property
     def num_branches(self) -> Tuple[int, ...]:
@@ -72,12 +82,18 @@ def model_static(cfg: Config, in_channels: int, out_channels: int) -> ModelStati
         grad_scale=tuple(cfg.grad_scale),
         warm_up_flag=cfg.warm_up_flag,
         momentum=cfg.momentum,
-        add_flag=False,  # v2 always (models.py v2:30); v1 GAT uses True
+        # v2 never quantizes the ones column (models.py v2:30); v1 GNN blocks
+        # do only for GAT (v1/models.py:53 with block transformer_flag=False,
+        # v1:278); transformer blocks always do (v1:272) — see vq_tr below.
+        add_flag=cfg.formulation == "bm" and cfg.conv_type == "GAT",
     )
     if cfg.dropbranch > 0:
         # cat of a branch subset mismatches gnn_transform's fan-in in the
         # reference too (models.py v2:150-174); only dropbranch=0 is runnable.
         raise NotImplementedError("dropbranch > 0 is broken in the reference")
+    if cfg.transformer_flag and cfg.formulation != "bm":
+        # the v2 transformer path is commented out (models.py v2:206-226)
+        raise NotImplementedError("transformer_flag requires formulation='bm'")
     return ModelStatic(
         num_layers=cfg.num_layers,
         channels=chans,
@@ -89,6 +105,8 @@ def model_static(cfg: Config, in_channels: int, out_channels: int) -> ModelStati
         alpha_dropout_flag=cfg.alpha_dropout_flag,
         num_D=cfg.num_D,
         vq=vq,
+        formulation=cfg.formulation,
+        transformer_flag=cfg.transformer_flag,
     )
 
 
@@ -121,8 +139,31 @@ def init_params(rng, ms: ModelStatic) -> List[Dict[str, Any]]:
         if ms.conv_type == "SAGE":
             layer["fc_sage"] = _linear_init(k3, c_in, c_out)
         if ms.conv_type == "GAT":
-            layer["att_l"] = _glorot_vec(k4, c_in + 1)
-            layer["att_r"] = _glorot_vec(k5, c_in + 1)
+            if ms.formulation == "bm":
+                # v1: one OurGATConv per branch, each over its D+1 slice
+                nb = ms.num_branches[l]
+                ka = jax.random.split(k4, nb)
+                kb = jax.random.split(k5, nb)
+                layer["att_l"] = jnp.stack(
+                    [_glorot_vec(ka[i], ms.num_D + 1) for i in range(nb)]
+                )
+                layer["att_r"] = jnp.stack(
+                    [_glorot_vec(kb[i], ms.num_D + 1) for i in range(nb)]
+                )
+            else:
+                layer["att_l"] = _glorot_vec(k4, c_in + 1)
+                layer["att_r"] = _glorot_vec(k5, c_in + 1)
+        if ms.transformer_flag:
+            nb = ms.num_branches[l]
+            rng, kk, kv, kr = jax.random.split(rng, 4)
+            kks = jax.random.split(kk, nb)
+            tk = [_linear_init(kks[i], ms.num_D, ms.num_D) for i in range(nb)]
+            layer["transformer_k"] = {
+                "w": jnp.stack([t["w"] for t in tk]),
+                "b": jnp.stack([t["b"] for t in tk]),
+            }
+            layer["transformer_v"] = _linear_init(kv, c_in, c_out)
+            layer["transformer_res"] = _linear_init(kr, c_in, c_out)
         params.append(layer)
     return params
 
@@ -226,10 +267,22 @@ def layer_forward(
         al, ar = attention_logits(x_input, lp["att_l"], lp["att_r"])
         valid_all = jnp.concatenate([batch.valid_B, batch.valid_fo])
         scale = explosion_scale(al, ar, valid_all)  # Trick 1 (convs.py v2:209)
-        ev = gat_edge_values(
-            batch.edges.row, batch.edges.col, batch.edges.val, al / scale, ar / scale
-        )
-        x_out = spmm(batch.edges.replace(val=ev), x_input)
+        al, ar = al / scale, ar / scale
+        e = batch.edges
+        if e.ell_row is not None:
+            # attention in slot-ELL layout, for the forward values AND the
+            # transposed copy the custom backward streams through (the
+            # forward output depends only on ell_val; t_ell_val mirrors it)
+            ev = gat_edge_values(
+                e.ell_row[:, None], e.ell_col, e.ell_val, al, ar
+            )
+            ev_t = gat_edge_values(
+                e.t_ell_col, e.t_ell_row[:, None], e.t_ell_val, al, ar
+            )
+            x_out = spmm(e.replace(ell_val=ev, t_ell_val=ev_t), x_input)
+        else:
+            ev = gat_edge_values(e.row, e.col, e.val, al, ar)
+            x_out = spmm(e.replace(val=ev), x_input)
     else:
         x_out = spmm(batch.edges, x_input)
 
@@ -256,6 +309,261 @@ def layer_forward(
 
 
 # --------------------------------------------------------------------------
+# one layer, B+M (v1 mapper) formulation
+# --------------------------------------------------------------------------
+def _bm_exact_reverse_info(
+    vq_state, ms: ModelStatic, batch: PaddedBatch, x_cols, warm_up_rate, al=None, ar_cb=None
+):
+    """Exact v1 codeword-row output for non-GCN recovery.
+
+    Builds, per branch, the [M, B] cell matrix relu(sum rv - sum A) the
+    mapper produces after coalesce + keep-positive (the reverse-normalized
+    additions and raw-A subtractions don't cancel, v1/utils/dataloader.py:
+    153-180), applies the per-cell GAT attention when given, and returns
+    info_backward = sum(out_M * grad_table) * warm.
+
+    x_cols: [nb, B_pad, Dg_in] per-branch batch-row features.
+    """
+    B_pad = batch.B_pad
+    M, D = ms.vq.num_M, ms.num_D
+    local_col = batch.bm_rev_row.astype(jnp.int32)
+    grad_table = jax.lax.stop_gradient(vq_state.embedding_output[:, :, D:])
+    use_attention = al is not None
+    if not use_attention:
+        nb = x_cols.shape[0]
+        al = jnp.zeros((nb, B_pad))
+        ar_cb = jnp.zeros((nb, M))
+
+    def one_branch(args):
+        c_row, gbar, xb, al_b, arcb_b = args
+        c = jnp.take(c_row, batch.bm_rev_col, mode="clip").astype(jnp.int32)
+        cell = c * B_pad + local_col
+        S = jax.ops.segment_sum(batch.bm_rev_val, cell, num_segments=M * B_pad)
+        S = jax.nn.relu(S).reshape(M, B_pad)
+        if use_attention:
+            a = al_b[None, :] + arcb_b[:, None]
+            S = S * jnp.exp(jax.nn.leaky_relu(a, 0.2))
+        out_M = jnp.dot(S, xb, preferred_element_type=jnp.float32)
+        return jnp.sum(out_M * gbar)
+
+    infos = jax.lax.map(
+        one_branch,
+        (vq_state.c_indices.astype(jnp.int32), grad_table, x_cols, al, ar_cb),
+    )
+    return jnp.sum(infos) * warm_up_rate
+
+
+def transformer_branch(
+    lp: Dict[str, Any],
+    vq_tr: VQState,
+    ms: ModelStatic,
+    x: jnp.ndarray,  # [B_pad, C_in]
+    batch: PaddedBatch,
+    probe_tr: Optional[jnp.ndarray],  # [nb, B_pad, D+1]
+    warm_up_rate,
+):
+    """v1 parallel low-rank global-attention branch.
+
+    Per branch (v1/models.py:143-233 with transformer_flag + convs.py:269-287):
+    LayerNorm -> transformer_k -> append ones, then two-way exp-attention
+    between the batch rows and the codebook, with the global c_max guard.
+    Returns (x_out_tr [B_pad, C_out-input of transformer_v], info_backward,
+    out_pre [nb, B_pad, D+1] pre-normalization — the hook point).
+    """
+    B_pad = batch.B_pad
+    D = ms.num_D
+    nb = x.shape[1] // D
+    M = ms.vq.num_M
+
+    xb = jnp.transpose(x.reshape(B_pad, nb, D), (1, 0, 2))  # [nb, B_pad, D]
+    xbar = jax.lax.stop_gradient(vq_tr.embedding_output[:, :, :D]) * warm_up_rate
+    gbar = jax.lax.stop_gradient(vq_tr.embedding_output[:, :, D:])  # [nb, M, D+1]
+
+    x_in = jnp.concatenate([xb, xbar], axis=1)  # [nb, B_pad+M, D]
+    # affine-free LayerNorm over D (v1/models.py:65, 185)
+    mu = jnp.mean(x_in, axis=2, keepdims=True)
+    var = jnp.mean((x_in - mu) ** 2, axis=2, keepdims=True)
+    x_in = (x_in - mu) * jax.lax.rsqrt(var + 1e-5)
+    # per-branch transformer_k linear
+    x_in = jnp.einsum("nbd,nde->nbe", x_in, lp["transformer_k"]["w"]) + lp[
+        "transformer_k"
+    ]["b"][:, None, :]
+    ones = jnp.ones((nb, x_in.shape[1], 1), x.dtype)
+    x_in = jnp.concatenate([x_in, ones], axis=2)  # [nb, B_pad+M, D+1]
+
+    xB, xM = x_in[:, :B_pad], x_in[:, B_pad:]
+    C = jnp.einsum("nbd,nmd->nbm", xB, xM) / jnp.sqrt(jnp.float32(D + 1))
+    # c_max over valid batch rows + codebook rows (convs.py:279)
+    nB = jnp.sum(xB**2, axis=2)  # [nb, B_pad]
+    nM = jnp.sum(xM**2, axis=2)
+    neg = jnp.float32(-jnp.inf)
+    c_max = jnp.maximum(
+        jnp.max(jnp.where(batch.valid_B[None, :], nB, neg), axis=1),
+        jnp.max(nM, axis=1),
+    )[:, None, None]
+    C = jnp.exp(C / c_max)
+    out_B = jnp.einsum(
+        "nbm,nmd->nbd", C / jnp.sum(C, axis=2, keepdims=True), xM
+    )  # [nb, B_pad, D+1]
+    Cm = C * batch.valid_B.astype(C.dtype)[None, :, None]
+    CT = jnp.swapaxes(Cm, 1, 2)  # [nb, M, B_pad]
+    out_M = jnp.einsum(
+        "nmb,nbd->nmd", CT / jnp.maximum(jnp.sum(CT, axis=2, keepdims=True), 1e-30), xB
+    )
+
+    if probe_tr is not None:
+        out_B = out_B + probe_tr
+
+    info_backward = jnp.sum(out_M * gbar * warm_up_rate)
+    # ones-column normalization (v1/models.py:209-210)
+    out_B_n = out_B[:, :, :D] / (out_B[:, :, D:] + 1e-16)
+    x_out_tr = jnp.transpose(out_B_n, (1, 0, 2)).reshape(B_pad, nb * D)
+    return x_out_tr, info_backward
+
+
+def layer_forward_bm(
+    lp: Dict[str, Any],
+    vq_state: VQState,
+    ms: ModelStatic,
+    x: jnp.ndarray,  # [B_pad, C_in]
+    batch: PaddedBatch,
+    probe: Optional[jnp.ndarray],
+    warm_up_rate,
+    training: bool,
+    vq_tr: Optional[VQState] = None,
+    probe_tr: Optional[jnp.ndarray] = None,
+):
+    """One v1 LowRankGNNLayer (``vq_gnn_v1/models.py:143-233, 307-367``).
+
+    The sampler already lowered the mapper's (B+M)^2 matrix to per-edge lists
+    (see ``bm_subgraph``); here the codebook features are scaled by
+    warm_up_rate (v1/models.py:181), GAT runs one attention head per branch
+    with its own parameters, and info_backward uses the per-codeword identity
+    sum_m out_M[m]*g[m] == sum_j out_fo[j]*g[c[j]].
+    """
+    B_pad = batch.B_pad
+    D = ms.num_D
+    nb = x.shape[1] // D
+    gat = ms.conv_type == "GAT"
+
+    x_fo, grad_fo = lookup(vq_state, batch.fo_ids, ms.vq)
+    fo_mask = batch.valid_fo.astype(x.dtype)[:, None]
+    x_fo = x_fo * fo_mask * warm_up_rate
+    grad_fo = jax.lax.stop_gradient(grad_fo * fo_mask)  # [fo, nb*Dg]
+
+    if not gat:
+        x_input = jnp.concatenate([x, x_fo], axis=0)
+        x_out = spmm(batch.edges, x_input)
+        if probe is not None:
+            x_out = x_out.at[:B_pad].add(probe)
+        if batch.bm_rev_row is not None:  # exact non-GCN recovery reverse
+            x_cols = jnp.transpose(x.reshape(B_pad, nb, D), (1, 0, 2))
+            info_backward = _bm_exact_reverse_info(
+                vq_state, ms, batch, x_cols, warm_up_rate
+            )
+        else:
+            out_fo = x_out[B_pad:]
+            info_backward = jnp.sum(out_fo * grad_fo * warm_up_rate)
+        out_B = x_out[:B_pad]
+    else:
+        dim = B_pad + batch.Bp_pad
+        # per-branch inputs with the appended ones column: [nb, dim, D+1]
+        xb = jnp.transpose(x.reshape(B_pad, nb, D), (1, 0, 2))
+        xfo_b = jnp.transpose(x_fo.reshape(batch.Bp_pad, nb, D), (1, 0, 2))
+        ones = jnp.ones((nb, dim, 1), x.dtype)
+        x_br = jnp.concatenate(
+            [jnp.concatenate([xb, xfo_b], axis=1), ones], axis=2
+        )
+        al = jnp.einsum("ndc,nc->nd", x_br, lp["att_l"])  # [nb, dim]
+        ar = jnp.einsum("ndc,nc->nd", x_br, lp["att_r"])
+        # Trick-1 scale per branch over [X_B || full codebook] rows
+        # (v1 conv computes the max over its B+M input, convs.py:209)
+        cb = jnp.concatenate(
+            [
+                vq_state.embedding_output[:, :, :D] * warm_up_rate,
+                jnp.ones((nb, ms.vq.num_M, 1), x.dtype),
+            ],
+            axis=2,
+        )
+        al_cb = jnp.einsum("nmc,nc->nm", cb, lp["att_l"])
+        ar_cb = jnp.einsum("nmc,nc->nm", cb, lp["att_r"])
+        neg = jnp.float32(-jnp.inf)
+        vb = batch.valid_B[None, :]
+        ml = jnp.maximum(
+            jnp.max(jnp.where(vb, al[:, :B_pad], neg), axis=1), jnp.max(al_cb, axis=1)
+        )
+        mr = jnp.maximum(
+            jnp.max(jnp.where(vb, ar[:, :B_pad], neg), axis=1), jnp.max(ar_cb, axis=1)
+        )
+        scale = (jnp.sqrt(ml**2 + 1.0) * jnp.sqrt(mr**2 + 1.0))[:, None]
+        al, ar = al / scale, ar / scale
+
+        e = batch.edges
+        if e.ell_row is not None:
+            ev = jax.vmap(
+                lambda a_l, a_r: gat_edge_values(
+                    e.ell_row[:, None], e.ell_col, e.ell_val, a_l, a_r
+                )
+            )(al, ar)
+            ev_t = jax.vmap(
+                lambda a_l, a_r: gat_edge_values(
+                    e.t_ell_col, e.t_ell_row[:, None], e.t_ell_val, a_l, a_r
+                )
+            )(al, ar)
+            x_out = jax.vmap(
+                lambda v, vt, xi: spmm(e.replace(ell_val=v, t_ell_val=vt), xi)
+            )(ev, ev_t, x_br)
+        else:
+            ev = jax.vmap(lambda a_l, a_r: gat_edge_values(e.row, e.col, e.val, a_l, a_r))(
+                al, ar
+            )
+            x_out = jax.vmap(lambda v, xi: spmm(e.replace(val=v), xi))(ev, x_br)
+
+        if probe is not None:  # [nb, B_pad, D+1]
+            x_out = x_out.at[:, :B_pad].add(probe)
+
+        if batch.bm_rev_row is not None:  # exact non-GCN recovery reverse
+            info_backward = _bm_exact_reverse_info(
+                vq_state,
+                ms,
+                batch,
+                x_br[:, :B_pad],
+                warm_up_rate,
+                al=al[:, :B_pad],
+                ar_cb=ar_cb / scale,
+            )
+        else:
+            out_fo = x_out[:, B_pad:]  # [nb, fo, D+1]
+            gfo = jnp.transpose(
+                grad_fo.reshape(batch.Bp_pad, nb, D + 1), (1, 0, 2)
+            )
+            info_backward = jnp.sum(out_fo * gfo * warm_up_rate)
+        # ones-column normalization of batch rows (v1/models.py:209-210)
+        outb = x_out[:, :B_pad]
+        outb = outb[:, :, :D] / (outb[:, :, D:] + 1e-16)
+        out_B = jnp.transpose(outb, (1, 0, 2)).reshape(B_pad, nb * D)
+
+    out = out_B @ lp["gnn_transform"]["w"] + lp["gnn_transform"]["b"]
+    if ms.conv_type == "SAGE":
+        out = out + x @ lp["fc_sage"]["w"] + lp["fc_sage"]["b"]
+    if ms.transformer_flag:
+        x_tr, info_tr = transformer_branch(
+            lp, vq_tr, ms, x, batch, probe_tr, warm_up_rate
+        )
+        out = (
+            out
+            + x_tr @ lp["transformer_v"]["w"]
+            + lp["transformer_v"]["b"]
+            + x @ lp["transformer_res"]["w"]
+            + lp["transformer_res"]["b"]
+        )
+        info_backward = info_backward + info_tr
+    if ms.skip:
+        out = out + x @ lp["linear_skip"]["w"] + lp["linear_skip"]["b"]
+    return out, info_backward
+
+
+# --------------------------------------------------------------------------
 # full model
 # --------------------------------------------------------------------------
 def model_forward(
@@ -271,6 +579,8 @@ def model_forward(
     rng: Optional[jnp.ndarray] = None,
     num_layers_to_run: Optional[int] = None,
     with_bn_act: bool = True,
+    vq_states_tr: Optional[List[VQState]] = None,
+    probes_tr: Optional[List[jnp.ndarray]] = None,
 ):
     """Full LowRankGNN forward (``models.py v2:308-348``).
 
@@ -287,9 +597,23 @@ def model_forward(
     for l in range(L):
         layer_inputs.append(x)
         probe = probes[l] if probes is not None else None
-        x, info_b = layer_forward(
-            params[l], vq_states[l], ms, x, batch, probe, warm_up_rate, training
-        )
+        if ms.formulation == "bm":
+            x, info_b = layer_forward_bm(
+                params[l],
+                vq_states[l],
+                ms,
+                x,
+                batch,
+                probe,
+                warm_up_rate,
+                training,
+                vq_tr=None if vq_states_tr is None else vq_states_tr[l],
+                probe_tr=probes_tr[l] if probes_tr else None,
+            )
+        else:
+            x, info_b = layer_forward(
+                params[l], vq_states[l], ms, x, batch, probe, warm_up_rate, training
+            )
         info_total = info_total + info_b
         last = l == ms.num_layers - 1
         if not last:
@@ -315,14 +639,27 @@ def model_forward(
     return x, info_total, layer_inputs, BNState(mean=new_means, var=new_vars)
 
 
-def probe_shapes(ms: ModelStatic, B_pad: int) -> List[Tuple[int, int]]:
-    """Conv-output widths per layer (the +1 ones column for GAT)."""
+def probe_shapes(ms: ModelStatic, B_pad: int) -> List[Tuple[int, ...]]:
+    """Conv-output shapes per layer (the +1 ones column for GAT; v1 GAT runs
+    one conv per branch so its probe is [nb, B, D+1])."""
+    if ms.formulation == "bm" and ms.conv_type == "GAT":
+        return [
+            (ms.num_branches[l], B_pad, ms.num_D + 1) for l in range(ms.num_layers)
+        ]
     extra = 1 if ms.conv_type == "GAT" else 0
     return [(B_pad, ms.channels[l] + extra) for l in range(ms.num_layers)]
 
 
 def zero_probes(ms: ModelStatic, B_pad: int) -> List[jnp.ndarray]:
     return [jnp.zeros(s, jnp.float32) for s in probe_shapes(ms, B_pad)]
+
+
+def zero_probes_tr(ms: ModelStatic, B_pad: int) -> List[jnp.ndarray]:
+    """Transformer-branch hook points: [nb, B_pad, D+1] per layer."""
+    return [
+        jnp.zeros((ms.num_branches[l], B_pad, ms.num_D + 1), jnp.float32)
+        for l in range(ms.num_layers)
+    ]
 
 
 # --------------------------------------------------------------------------

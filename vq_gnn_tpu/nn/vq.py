@@ -282,6 +282,66 @@ def vq_update(
     )
 
 
+def feature_kmeans_init(
+    state: VQState, X_B: "np.ndarray", batch_idx, p: VQParams
+) -> VQState:
+    """Optional MiniBatchKMeans seeding of the feature half (reference
+    ``--kmeans-init``, v1/models.py:147-159 + vq.py:102-105): k-means++ on
+    batch-normalized features, then centroids/counts/labels seed the EMA
+    state.  Host-side (sklearn), called once before the init sweep."""
+    import numpy as np
+    from sklearn.cluster import MiniBatchKMeans
+
+    X = np.asarray(X_B)  # [nb, B, D]
+    nb = X.shape[0]
+    emb = np.asarray(state.embedding).copy()
+    ema_w = np.asarray(state.ema_w).copy()
+    size = np.asarray(state.ema_cluster_size).copy()
+    c_idx = np.asarray(state.c_indices).copy()
+    for b in range(nb):
+        xb = X[b]
+        xn = (xb - xb.mean(0)) / np.sqrt(xb.var(0) + 1e-5)
+        km = MiniBatchKMeans(
+            n_clusters=p.num_M,
+            init="k-means++",
+            batch_size=400,
+            n_init=10,
+            init_size=4000,
+            reassignment_ratio=0.3,
+        ).fit(xn)
+        cent = km.cluster_centers_.astype(np.float32)
+        counts = np.bincount(km.labels_, minlength=p.num_M).astype(np.float32)
+        emb[b, :, : p.num_D] = cent
+        size[b] = counts
+        ema_w[b, :, : p.num_D] = cent * counts[:, None]
+        c_idx[b, np.asarray(batch_idx)] = km.labels_.astype(np.int16)
+    return state.replace(
+        embedding=jnp.asarray(emb),
+        ema_w=jnp.asarray(ema_w),
+        ema_cluster_size=jnp.asarray(size),
+        c_indices=jnp.asarray(c_idx),
+    )
+
+
+def ste_vector_quantizer(
+    inputs: jnp.ndarray,
+    embedding: jnp.ndarray,
+    commitment_cost: float = 0.5,
+    holistic_cost: float = 0.1,
+):
+    """The legacy straight-through-estimator VQ (reference VectorQuantizer,
+    ``vq.py:10-57`` — constructed but unused there).  Returns
+    (loss, quantized, encodings, indices)."""
+    idx = nearest_codeword(inputs, embedding)
+    quantized = jnp.take(embedding, idx, axis=0)
+    e_latent = jnp.mean((jax.lax.stop_gradient(quantized) - inputs) ** 2)
+    q_latent = jnp.mean((quantized - jax.lax.stop_gradient(inputs)) ** 2)
+    loss = holistic_cost * (q_latent + commitment_cost * e_latent)
+    st = inputs + jax.lax.stop_gradient(quantized - inputs)
+    onehot = jax.nn.one_hot(idx, embedding.shape[0], dtype=inputs.dtype)
+    return loss, st, onehot, idx
+
+
 def lookup(state: VQState, node_ids: jnp.ndarray, p: VQParams):
     """Codebook lookup for out-of-batch nodes (``models.py v2:168-173``).
 

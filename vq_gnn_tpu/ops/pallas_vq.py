@@ -1,0 +1,94 @@
+"""Pallas TPU kernel: fused VQ assignment + cluster statistics.
+
+Fuses the reference's four-op hot sequence (``vq.py v2:229-256``):
+distance GEMM -> argmin -> one-hot -> (counts, one-hot GEMM sums)
+into one pass.  The [B, M] distance matrix and the [B, M] one-hot never
+leave VMEM — at B=85k, M=256 that saves ~170MB of HBM round-trip per branch
+per step vs the XLA lowering.
+
+Layout: grid over B tiles; the codebook (M<=32767, K<=2*D+1) stays resident
+in VMEM; counts/sums accumulate across the sequential TPU grid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _assign_kernel(xn_ref, emb_ref, valid_ref, idx_ref, counts_ref, sums_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    xn = xn_ref[:]  # [TB, K]
+    emb = emb_ref[:]  # [M, K]
+    valid = valid_ref[:]  # [TB, 1] f32
+
+    # expanded-square distances on the MXU; ||xn||^2 is constant per row and
+    # does not affect the argmin, so skip it
+    d = (
+        jnp.sum(emb * emb, axis=1)[None, :]
+        - 2.0 * jnp.dot(xn, emb.T, preferred_element_type=jnp.float32)
+    )  # [TB, M]
+    idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    idx_ref[:] = idx[:, None]
+
+    M = emb.shape[0]
+    onehot = (idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)).astype(
+        jnp.float32
+    )
+    onehot = onehot * valid
+    counts_ref[:] += jnp.sum(onehot, axis=0)[None, :]
+    sums_ref[:] += jnp.dot(onehot.T, xn, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def fused_assign(xn, emb, valid, tile_b: int = 512, interpret: bool = False):
+    """(idx [B] i32, counts [M] f32, sums [M, K] f32) for one branch.
+
+    Matches nearest_codeword + assignment_stats exactly (same expanded-square
+    distances, f32 MXU accumulation).
+    """
+    B, K = xn.shape
+    M = emb.shape[0]
+    B_pad = ((B + tile_b - 1) // tile_b) * tile_b
+    if B_pad != B:
+        xn = jnp.pad(xn, ((0, B_pad - B), (0, 0)))
+        valid = jnp.pad(valid, (0, B_pad - B))
+    v2 = valid.astype(jnp.float32)[:, None]
+
+    grid = (B_pad // tile_b,)
+    idx, counts, sums = pl.pallas_call(
+        _assign_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((M, K), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xn, emb, v2)
+    return idx[:B, 0], counts[0], sums
+
+
+def fused_assign_branches(xn, emb, valid, tile_b: int = 512, interpret: bool = False):
+    """vmap over the branch axis: xn [nb, B, K], emb [nb, M, K] -> stacked."""
+    return jax.vmap(lambda x, e: fused_assign(x, e, valid, tile_b, interpret))(xn, emb)

@@ -29,13 +29,33 @@ from flax import struct
 
 
 class Edges(struct.PyTreeNode):
-    """A padded, row-sorted COO edge list over a local node numbering."""
+    """A padded edge list over a local node numbering.
 
-    row: jnp.ndarray  # [E_pad] int32, ascending; padding rows = num_rows
-    col: jnp.ndarray  # [E_pad] int32; padding cols = num_rows
-    val: jnp.ndarray  # [E_pad] float32; padding vals = 0
+    Two layouts:
+
+    - COO (row/col/val, row-sorted): the reference layout; used by tests and
+      as fallback.
+    - **slot-ELL** (ell_*): each row's edges are split into slots of K
+      contiguous edges; a slot is (output row, K cols, K vals).  The
+      aggregate becomes gather + dense K-reduction + a segment-sum over
+      S ~ E/K slots — 16x less scatter traffic than per-edge segment-sum,
+      which is the TPU bottleneck (scatters serialize; gathers stream).
+      ``t_ell_*`` is the same layout for the transposed graph, so the
+      backward dx is another gather-heavy ELL pass instead of an AD scatter.
+    """
+
+    row: Optional[jnp.ndarray] = None  # [E_pad] int32, ascending; pad = num_rows
+    col: Optional[jnp.ndarray] = None  # [E_pad] int32; pad = num_rows
+    val: Optional[jnp.ndarray] = None  # [E_pad] float32; pad = 0
     # Permutation sorting edges by col (for the transposed/backward SpMM).
     tperm: Optional[jnp.ndarray] = None  # [E_pad] int32
+    # slot-ELL layout
+    ell_row: Optional[jnp.ndarray] = None  # [S_pad] int32 ascending; pad = num_rows
+    ell_col: Optional[jnp.ndarray] = None  # [S_pad, K] int32; pad = num_rows
+    ell_val: Optional[jnp.ndarray] = None  # [S_pad, K] f32; pad = 0
+    t_ell_row: Optional[jnp.ndarray] = None
+    t_ell_col: Optional[jnp.ndarray] = None
+    t_ell_val: Optional[jnp.ndarray] = None
     num_rows: int = struct.field(pytree_node=False, default=0)
 
 
@@ -47,9 +67,35 @@ def _segment_matvec(row, col, val, x, num_rows, sorted_rows):
     return out[:num_rows]
 
 
+def _ell_matvec(ell_row, ell_col, ell_val, x, num_rows):
+    """Slot-ELL aggregate: gather K neighbors per slot, dense K-reduce,
+    segment-sum partials over sorted slot rows."""
+    S, K = ell_col.shape
+    nbrs = jnp.take(x, ell_col.reshape(-1), axis=0, mode="clip").reshape(
+        S, K, x.shape[1]
+    )
+    part = jnp.einsum("sk,skd->sd", ell_val, nbrs)
+    out = jax.ops.segment_sum(
+        part, ell_row, num_segments=num_rows + 1, indices_are_sorted=True
+    )
+    return out[:num_rows]
+
+
+def _ell_sddmm(ell_row, ell_col, g, x):
+    """d val[s,k] = g[row_s] . x[col_sk] — all gathers."""
+    S, K = ell_col.shape
+    g_rows = jnp.take(g, ell_row, axis=0, mode="clip")  # [S, D]
+    x_cols = jnp.take(x, ell_col.reshape(-1), axis=0, mode="clip").reshape(
+        S, K, x.shape[1]
+    )
+    return jnp.einsum("sd,skd->sk", g_rows, x_cols)
+
+
 @jax.custom_vjp
 def spmm(edges: Edges, x: jnp.ndarray) -> jnp.ndarray:
     """out[r] = sum_e 1[row_e == r] * val_e * x[col_e]  ->  [num_rows, D]."""
+    if edges.ell_row is not None:
+        return _ell_matvec(edges.ell_row, edges.ell_col, edges.ell_val, x, edges.num_rows)
     return _segment_matvec(edges.row, edges.col, edges.val, x, edges.num_rows, True)
 
 
@@ -60,6 +106,14 @@ def _spmm_fwd(edges: Edges, x: jnp.ndarray):
 def _spmm_bwd(res, g):
     edges, x = res
     num_cols = x.shape[0]
+    if edges.ell_row is not None:
+        if edges.t_ell_row is None:
+            raise ValueError("ELL edges need t_ell_* for the backward pass")
+        dx = _ell_matvec(edges.t_ell_row, edges.t_ell_col, edges.t_ell_val, g, num_cols)
+        dval_ell = _ell_sddmm(edges.ell_row, edges.ell_col, g, x)
+        d_edges = jax.tree.map(jnp.zeros_like, edges).replace(ell_val=dval_ell)
+        return d_edges, dx
+
     if edges.tperm is not None:
         t_row = jnp.take(edges.col, edges.tperm)
         t_col = jnp.take(edges.row, edges.tperm)
@@ -73,17 +127,44 @@ def _spmm_bwd(res, g):
         * jnp.take(x, edges.col, axis=0, mode="clip"),
         axis=-1,
     )
-    d_edges = Edges(
-        row=jnp.zeros_like(edges.row),
-        col=jnp.zeros_like(edges.col),
-        val=dval,
-        tperm=None if edges.tperm is None else jnp.zeros_like(edges.tperm),
-        num_rows=edges.num_rows,
-    )
+    d_edges = jax.tree.map(jnp.zeros_like, edges).replace(val=dval)
     return d_edges, dx
 
 
 spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def build_ell_host(row, col, val, num_rows: int, K: int, S_pad: int = 0):
+    """Host-side slot-ELL construction from row-sorted COO (numpy).
+
+    Returns (ell_row [S_pad], ell_col [S_pad, K], ell_val [S_pad, K]).
+    Padding slots carry row = num_rows (dustbin segment), col = num_rows
+    (clamped gather), val = 0.
+    """
+    import numpy as np
+
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    val = np.asarray(val, np.float32)
+    deg = np.bincount(row, minlength=num_rows)
+    starts = np.concatenate([[0], np.cumsum(deg)])
+    pos = np.arange(len(row)) - starts[row]
+    nslot = (deg + K - 1) // K
+    slot_base = np.concatenate([[0], np.cumsum(nslot)])
+    S = int(slot_base[-1])
+    if S_pad <= 0:
+        S_pad = S
+    if S > S_pad:
+        raise ValueError(f"slots {S} exceed S_pad={S_pad}")
+    sid = slot_base[row] + pos // K
+    k = pos % K
+    ell_row = np.full(S_pad, num_rows, np.int32)
+    ell_row[:S] = np.repeat(np.arange(num_rows), nslot).astype(np.int32)
+    ell_col = np.full((S_pad, K), num_rows, np.int32)
+    ell_val = np.zeros((S_pad, K), np.float32)
+    ell_col[sid, k] = col
+    ell_val[sid, k] = val
+    return ell_row, ell_col, ell_val
 
 
 def make_edges(row, col, val, num_rows, with_transpose: bool = True) -> Edges:

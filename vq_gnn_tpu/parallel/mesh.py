@@ -54,6 +54,12 @@ def shard_train_inputs(mesh: Mesh, state, X_dev, batch):
         col=_put(edges.col, rows),
         val=_put(edges.val, rows),
         tperm=_put(edges.tperm, rows),
+        ell_row=_put(edges.ell_row, rows),
+        ell_col=_put(edges.ell_col, rows),
+        ell_val=_put(edges.ell_val, rows),
+        t_ell_row=_put(edges.t_ell_row, rows),
+        t_ell_col=_put(edges.t_ell_col, rows),
+        t_ell_val=_put(edges.t_ell_val, rows),
     )
     batch_s = batch.replace(
         batch_idx=_put(batch.batch_idx, rows),
@@ -65,5 +71,11 @@ def shard_train_inputs(mesh: Mesh, state, X_dev, batch):
         y=_put(batch.y, rows),
         train_mask=_put(batch.train_mask, rows),
         deg_inv_B=_put(batch.deg_inv_B, rows),
+        link_src=_put(batch.link_src, rows),
+        link_dst=_put(batch.link_dst, rows),
+        link_mask=_put(batch.link_mask, rows),
+        bm_rev_row=_put(batch.bm_rev_row, rows),
+        bm_rev_col=_put(batch.bm_rev_col, rows),
+        bm_rev_val=_put(batch.bm_rev_val, rows),
     )
     return state_s, X_s, batch_s

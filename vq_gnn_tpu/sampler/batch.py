@@ -37,6 +37,18 @@ class PaddedBatch(struct.PyTreeNode):
     train_mask: Optional[jnp.ndarray] = None  # [B_pad] bool
     # v1 "B+M" formulation: deg_inv of batch rows for mapper self-loops
     deg_inv_B: Optional[jnp.ndarray] = None
+    # link prediction: in-batch positive edges, local indices < B
+    # (reference prepare_batch_input_link, misc.py:88-91)
+    link_src: Optional[jnp.ndarray] = None  # [L_pad] int32
+    link_dst: Optional[jnp.ndarray] = None  # [L_pad] int32
+    link_mask: Optional[jnp.ndarray] = None  # [L_pad] bool
+    # v1 non-GCN recovery: per-edge inputs of the exact codeword-row (M-row)
+    # cell matrix relu(sum rv - sum A) (v1/utils/dataloader.py:153-180).
+    # rev_col is the GLOBAL neighbor id (codeword looked up per branch on
+    # device); padding entries have val 0.
+    bm_rev_row: Optional[jnp.ndarray] = None  # [R_pad] int32 local batch row
+    bm_rev_col: Optional[jnp.ndarray] = None  # [R_pad] int32 global neighbor
+    bm_rev_val: Optional[jnp.ndarray] = None  # [R_pad] f32 (rv or -A)
 
     @property
     def B_pad(self) -> int:
@@ -65,6 +77,13 @@ def build_padded_batch(
     train_mask: Optional[np.ndarray] = None,
     deg_inv_B: Optional[np.ndarray] = None,
     with_transpose: bool = True,
+    with_link_edges: bool = False,
+    L_pad: int = 0,
+    ell_K: int = 0,
+    S_pad: int = 0,
+    St_pad: int = 0,
+    bm_rev=None,
+    R_pad: int = 0,
 ) -> PaddedBatch:
     """Pad a host-built subgraph batch to static shapes.
 
@@ -89,13 +108,44 @@ def build_padded_batch(
         a = np.asarray(a, np.int64)
         return np.where(a >= B, a - B + B_pad, a).astype(np.int32)
 
-    row = np.full(E_pad, dim_pad, np.int32)
-    col = np.full(E_pad, dim_pad, np.int32)
-    val = np.zeros(E_pad, np.float32)
     r, c = shift(edge_row), shift(edge_col)
+    v = np.asarray(edge_val, np.float32)
     order = np.argsort(r, kind="stable")
-    row[:E], col[:E], val[:E] = r[order], c[order], np.asarray(edge_val, np.float32)[order]
-    tperm = np.argsort(col, kind="stable").astype(np.int32) if with_transpose else None
+    rs, cs, vs = r[order], c[order], v[order]
+
+    if ell_K > 0:
+        # slot-ELL (primary TPU layout) for forward and transposed graphs
+        from vq_gnn_tpu.ops.spmm import build_ell_host
+
+        er_, ec_, ev_ = build_ell_host(rs, cs, vs, dim_pad, ell_K, S_pad)
+        t_order = np.argsort(cs, kind="stable")
+        tr_, tc_, tv_ = build_ell_host(
+            cs[t_order], rs[t_order], vs[t_order], dim_pad, ell_K, St_pad
+        )
+        edges = Edges(
+            ell_row=jnp.asarray(er_),
+            ell_col=jnp.asarray(ec_),
+            ell_val=jnp.asarray(ev_),
+            t_ell_row=jnp.asarray(tr_),
+            t_ell_col=jnp.asarray(tc_),
+            t_ell_val=jnp.asarray(tv_),
+            num_rows=dim_pad,
+        )
+    else:
+        row = np.full(E_pad, dim_pad, np.int32)
+        col = np.full(E_pad, dim_pad, np.int32)
+        val = np.zeros(E_pad, np.float32)
+        row[:E], col[:E], val[:E] = rs, cs, vs
+        tperm = (
+            np.argsort(col, kind="stable").astype(np.int32) if with_transpose else None
+        )
+        edges = Edges(
+            row=jnp.asarray(row),
+            col=jnp.asarray(col),
+            val=jnp.asarray(val),
+            tperm=None if tperm is None else jnp.asarray(tperm),
+            num_rows=dim_pad,
+        )
 
     valid_B = np.zeros(B_pad, bool)
     valid_B[:B] = True
@@ -110,20 +160,57 @@ def build_padded_batch(
         out[:B] = a
         return out
 
+    link_src = link_dst = link_mask = None
+    if with_link_edges:
+        # in-batch positive edges: both local endpoints < B (misc.py:88-91)
+        e_row = np.asarray(edge_row, np.int64)
+        e_col = np.asarray(edge_col, np.int64)
+        sel = (e_row < B) & (e_col < B)
+        ls, ld = e_row[sel], e_col[sel]
+        if L_pad <= 0:
+            L_pad = round_up(max(len(ls), 1), 1024)
+        if len(ls) > L_pad:
+            raise ValueError(f"link edges {len(ls)} exceed L_pad={L_pad}")
+        link_src = np.zeros(L_pad, np.int32)
+        link_dst = np.zeros(L_pad, np.int32)
+        link_mask = np.zeros(L_pad, bool)
+        link_src[: len(ls)], link_dst[: len(ld)] = ls, ld
+        link_mask[: len(ls)] = True
+        link_src = jnp.asarray(link_src)
+        link_dst = jnp.asarray(link_dst)
+        link_mask = jnp.asarray(link_mask)
+
     return PaddedBatch(
         batch_idx=jnp.asarray(pad_ids(node_idx, B_pad)),
         fo_ids=jnp.asarray(pad_ids(fo_ids, Bp_pad)),
         valid_B=jnp.asarray(valid_B),
         valid_fo=jnp.asarray(valid_fo),
-        edges=Edges(
-            row=jnp.asarray(row),
-            col=jnp.asarray(col),
-            val=jnp.asarray(val),
-            tperm=None if tperm is None else jnp.asarray(tperm),
-            num_rows=dim_pad,
-        ),
+        edges=edges,
         num_B=jnp.asarray(B, jnp.int32),
         y=None if y is None else jnp.asarray(pad_rows(y)),
         train_mask=None if train_mask is None else jnp.asarray(pad_rows(train_mask, False)),
         deg_inv_B=None if deg_inv_B is None else jnp.asarray(pad_rows(deg_inv_B, 0.0)),
+        link_src=link_src,
+        link_dst=link_dst,
+        link_mask=link_mask,
+        **_pad_bm_rev(bm_rev, R_pad, num_N),
+    )
+
+
+def _pad_bm_rev(bm_rev, R_pad, num_N):
+    if bm_rev is None:
+        return {}
+    rr, rc, rv = bm_rev
+    if len(rr) > R_pad:
+        raise ValueError(f"rev edges {len(rr)} exceed R_pad={R_pad}")
+    row = np.zeros(R_pad, np.int32)
+    colg = np.full(R_pad, num_N, np.int32)
+    val = np.zeros(R_pad, np.float32)
+    row[: len(rr)] = rr
+    colg[: len(rc)] = rc
+    val[: len(rv)] = rv
+    return dict(
+        bm_rev_row=jnp.asarray(row),
+        bm_rev_col=jnp.asarray(colg),
+        bm_rev_val=jnp.asarray(val),
     )

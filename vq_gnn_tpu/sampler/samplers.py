@@ -109,6 +109,125 @@ def k_hop_subgraph(rowptr, col, val, node_idx, num_N, train_flag: bool):
     return fo_ids, e_row, e_col, e_val
 
 
+def bm_subgraph(
+    rowptr,
+    col,
+    val,
+    deg,
+    deg_inv,
+    node_idx,
+    num_N,
+    conv_type: str,
+    recovery_flag: bool,
+    train_flag: bool,
+):
+    """v1 "B+M" formulation edge sets, per-edge equivalent of the mapper
+    (``vq_gnn_v1/utils/dataloader.py:144-192``).
+
+    The mapper builds a (B+M)x(B+M) matrix whose (i, codeword m) cell sums
+    A(i,j) over out-of-batch neighbors j with c[j]=m (the in-batch part is
+    subtracted back out under recovery and handled exactly, and the coalesce
+    "keep positive" step only drops exact zeros since A_BB's values equal
+    A_BN's on the same edges).  Because both the linear convs and the GAT
+    attention (whose logits depend only on the codeword row) are invariant to
+    splitting a cell into its constituent edges, we emit per-edge lists in
+    the same [B || B'] local layout as the v2 path, with v1 values:
+
+    - B rows:  in-batch edges exact (GCN doubled by mapper's to_symmetric),
+      out-of-batch edges A(i,j) routed through the neighbor's codeword
+      feature; self-loops value deg_inv (GCN doubled; SAGE none).
+      Without recovery every neighbor (in-batch too) routes via codewords.
+    - B' rows (train only): (j <- i in B), GCN value A(i,j) (symmetrized
+      transpose), else the reverse-normalized A(i,j)*deg[i]*deg_inv[j]
+      (v1/utils/dataloader.py:76-83, 153-154).  These rows feed
+      info_backward; per-codeword aggregation is recovered by the lookup
+      identity sum_m out_M[m]*g[m] == sum_j out_fo[j]*g[c[j]].
+    """
+    node_idx = np.asarray(node_idx, dtype=np.int64)
+    B = len(node_idx)
+
+    in_batch = np.zeros(num_N, dtype=bool)
+    in_batch[node_idx] = True
+
+    starts, ends = rowptr[node_idx], rowptr[node_idx + 1]
+    counts = ends - starts
+    gather = np.repeat(starts - np.cumsum(counts) + counts, counts) + np.arange(
+        counts.sum()
+    )
+    rows_g = np.repeat(node_idx, counts)  # global batch row per edge
+    cols_g = col[gather]
+    vals_g = val[gather]
+    nbr_out = ~in_batch[cols_g]
+
+    if recovery_flag and train_flag:
+        fo_ids = np.unique(cols_g[nbr_out])
+    else:
+        fo_ids = np.unique(cols_g)  # every neighbor routes via its codeword
+
+    pos = np.full(num_N, -1, dtype=np.int64)
+    pos[node_idx] = np.arange(B)
+    fo_pos = np.full(num_N, -1, dtype=np.int64)
+    fo_pos[fo_ids] = B + np.arange(len(fo_ids))
+
+    er_list, ec_list, ev_list = [], [], []
+    rev = None
+
+    gcn_mult = 2.0 if conv_type == "GCN" else 1.0
+    if recovery_flag and train_flag:
+        # exact in-batch edges
+        sel = ~nbr_out
+        er_list.append(pos[rows_g[sel]])
+        ec_list.append(pos[cols_g[sel]])
+        ev_list.append(vals_g[sel] * gcn_mult)
+        # out-of-batch via codewords
+        er_list.append(pos[rows_g[nbr_out]])
+        ec_list.append(fo_pos[cols_g[nbr_out]])
+        ev_list.append(vals_g[nbr_out])
+        rev_sel = nbr_out
+    else:
+        er_list.append(pos[rows_g])
+        ec_list.append(fo_pos[cols_g])
+        ev_list.append(vals_g)
+        rev_sel = slice(None)
+
+    # self-loops (mapper lines 182-185; GCN doubled by to_symmetric)
+    if conv_type != "SAGE":
+        er_list.append(np.arange(B))
+        ec_list.append(np.arange(B))
+        ev_list.append(deg_inv[node_idx].astype(np.float32) * gcn_mult)
+
+    if train_flag:
+        if conv_type != "GCN" and recovery_flag:
+            # The mapper's reverse side adds deg*A*deg_inv on ALL neighbor
+            # edges but subtracts the RAW A on in-batch ones (reversed row
+            # codeword, v1/utils/dataloader.py:153-168) — the mismatch makes
+            # the per-cell positive clamp live, so we ship the raw per-edge
+            # inputs and build the [M, B] cell matrix on device.
+            rv_all = (vals_g * deg[rows_g] * deg_inv[cols_g]).astype(np.float32)
+            sel_in = ~nbr_out
+            rev = (
+                np.concatenate([pos[rows_g], pos[cols_g[sel_in]]]).astype(np.int64),
+                np.concatenate([cols_g, rows_g[sel_in]]).astype(np.int64),
+                np.concatenate([rv_all, -vals_g[sel_in]]).astype(np.float32),
+            )
+        else:
+            # B'-row reverse edges (exactly per-edge reducible)
+            rj = cols_g[rev_sel]
+            ri = rows_g[rev_sel]
+            if conv_type == "GCN":
+                rv = vals_g[rev_sel]
+            else:
+                rv = (vals_g[rev_sel] * deg[ri] * deg_inv[rj]).astype(np.float32)
+            er_list.append(fo_pos[rj])
+            ec_list.append(pos[ri])
+            ev_list.append(rv)
+
+    er = np.concatenate(er_list)
+    ec = np.concatenate(ec_list)
+    ev = np.concatenate(ev_list).astype(np.float32)
+    return fo_ids, er, ec, ev, rev
+
+
 class BatchLoader:
     """Epoch iterator yielding lists of PaddedBatch windows."""
 
@@ -122,7 +241,10 @@ class BatchLoader:
         cluster_indices: Optional[Sequence[np.ndarray]] = None,
         shuffle: Optional[bool] = None,
         seed: int = 0,
+        with_link_edges: bool = False,
     ):
+        self.with_link_edges = with_link_edges
+        self._L_bucket = 0
         self.graph = graph
         self.cfg = cfg
         self.train_flag = train_flag
@@ -163,6 +285,8 @@ class BatchLoader:
         self._B_bucket = 0
         self._Bp_bucket = 0
         self._E_bucket = 0
+        self._S_bucket = 0
+        self._St_bucket = 0
 
     # ---- batch index generation (one epoch) ----
     def _node_batches(self, rng) -> List[List[np.ndarray]]:
@@ -223,12 +347,46 @@ class BatchLoader:
         self._E_bucket = max(self._E_bucket, round_up(max(E, 1), me))
         return self._B_bucket, self._Bp_bucket, self._E_bucket
 
+    def _slot_pad(self, er, ec, K, dim, attr):
+        deg = np.bincount(er, minlength=dim)
+        S = int(((deg + K - 1) // K).sum())
+        ms = max(self.cfg.pad_multiple_edges // K, 64)
+        bucket = max(getattr(self, attr), round_up(max(S, 1), ms))
+        setattr(self, attr, bucket)
+        return bucket
+
     def _build(self, node_idx: np.ndarray) -> PaddedBatch:
         g = self.graph
-        fo_ids, er, ec, ev = k_hop_subgraph(
-            self.rowptr, self.col, self.val, node_idx, self.N, self.train_flag
-        )
+        rev = None
+        if self.cfg.formulation == "bm":
+            fo_ids, er, ec, ev, rev = bm_subgraph(
+                self.rowptr,
+                self.col,
+                self.val,
+                g.deg,
+                g.deg_inv,
+                node_idx,
+                self.N,
+                self.cfg.conv_type,
+                self.cfg.recovery_flag,
+                self.train_flag,
+            )
+        else:
+            fo_ids, er, ec, ev = k_hop_subgraph(
+                self.rowptr, self.col, self.val, node_idx, self.N, self.train_flag
+            )
         B_pad, Bp_pad, E_pad = self._pad_sizes(len(node_idx), len(fo_ids), len(er))
+        ell_K = S_pad = St_pad = 0
+        if self.cfg.spmm_backend == "ell":
+            ell_K = self.cfg.ell_K
+            dim = len(node_idx) + len(fo_ids) + 1
+            S_pad = self._slot_pad(er, ec, ell_K, dim, "_S_bucket")
+            St_pad = self._slot_pad(ec, er, ell_K, dim, "_St_bucket")
+        L_pad = 0
+        if self.with_link_edges:
+            n_link = int(((er < len(node_idx)) & (ec < len(node_idx))).sum())
+            self._L_bucket = max(self._L_bucket, round_up(max(n_link, 1), 1024))
+            L_pad = self._L_bucket
         return build_padded_batch(
             node_idx,
             fo_ids,
@@ -242,10 +400,60 @@ class BatchLoader:
             y=None if g.y is None else g.y[node_idx],
             train_mask=None if g.train_mask is None else g.train_mask[node_idx],
             deg_inv_B=None if g.deg_inv is None else g.deg_inv[node_idx],
+            with_link_edges=self.with_link_edges,
+            L_pad=L_pad,
+            ell_K=ell_K,
+            S_pad=S_pad,
+            St_pad=St_pad,
+            bm_rev=rev,
+            R_pad=self._rev_pad(rev),
         )
 
-    def __iter__(self):
+    def _rev_pad(self, rev):
+        if rev is None:
+            return 0
+        if not hasattr(self, "_R_bucket"):
+            self._R_bucket = 0
+        self._R_bucket = max(
+            self._R_bucket, round_up(max(len(rev[0]), 1), self.cfg.pad_multiple_edges)
+        )
+        return self._R_bucket
+
+    def _epoch_iter(self):
         rng = np.random.RandomState((self.seed + self._epoch * 9973) % (2**31))
         self._epoch += 1
         for windows in self._node_batches(rng):
             yield [self._build(idx) for idx in windows], windows
+
+    def __iter__(self):
+        if not getattr(self, "prefetch", True):
+            yield from self._epoch_iter()
+            return
+        # background thread overlaps host-side subgraph/ELL construction with
+        # the device step (the reference's DataLoader num_workers analogue)
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        DONE = object()
+        err = []
+
+        def producer():
+            try:
+                for item in self._epoch_iter():
+                    q.put(item)
+            except BaseException as e:  # surface worker errors to the consumer
+                err.append(e)
+            finally:
+                q.put(DONE)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

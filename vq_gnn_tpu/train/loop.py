@@ -37,7 +37,14 @@ class NodeTrainer:
         num_classes: int,
         cluster_indices=None,
         use_ogb_acc: Optional[bool] = None,
+        val_graph: Optional[HostGraph] = None,
+        test_graph: Optional[HostGraph] = None,
     ):
+        # inductive datasets (ppi/cluster): separate val/test graphs, each
+        # evaluated as ONE full batch so B' is empty and the codebooks are
+        # bypassed (reference main_node.py v2:158-171, 191-200, 276-281)
+        self.val_graph, self.test_graph = val_graph, test_graph
+        self.inductive = val_graph is not None
         jax.config.update("jax_default_matmul_precision", cfg.matmul_precision)
         self.graph = graph
         self.cfg = cfg
@@ -70,6 +77,27 @@ class NodeTrainer:
         self.rng = jax.random.PRNGKey(cfg.seed + 17)
         self.logger = Logger(cfg.runs, cfg)
 
+        if self.inductive:
+            self._split_loaders = {}
+            for name, gr in (
+                ("train", graph),
+                ("val", val_graph),
+                ("test", test_graph),
+            ):
+                self._split_loaders[name] = (
+                    BatchLoader(
+                        gr,
+                        cfg,
+                        train_flag=False,
+                        sampler_type="node",
+                        batch_size=gr.num_nodes,
+                        shuffle=False,
+                        seed=cfg.seed + 3,
+                    ),
+                    device_features(gr.x),
+                    gr,
+                )
+
     # ---- layerwise codebook bootstrap (main_node.py v2:17-37) ----
     def run_init_sweep(self, verbose: bool = False):
         for layer_idx in range(1, self.ms.num_layers + 1):
@@ -78,8 +106,16 @@ class NodeTrainer:
             step = self.fns.init_step_for(layer_idx)
             for windows, _ in self.test_loader:
                 batch = windows[0]
-                new_vq = step(self.state.vq_states, self.state.params, self.X_dev, batch)
-                self.state = self.state.replace(vq_states=new_vq)
+                new_vq, new_tr = step(
+                    self.state.vq_states,
+                    self.state.vq_states_tr or [],
+                    self.state.params,
+                    self.X_dev,
+                    batch,
+                )
+                self.state = self.state.replace(
+                    vq_states=new_vq, vq_states_tr=new_tr or None
+                )
 
     def warm_up_rate(self, epoch: int) -> float:
         cfg = self.cfg
@@ -139,6 +175,17 @@ class NodeTrainer:
         return np.concatenate(outs, axis=0)
 
     def evaluate(self):
+        if self.inductive:
+            results = []
+            for name in ("train", "val", "test"):
+                loader, X_dev, gr = self._split_loaders[name]
+                outs = []
+                for windows, raw in loader:
+                    out = self.fns.eval_step(self.state, X_dev, windows[0])
+                    outs.append(np.asarray(out)[: len(raw[0])])
+                outs = np.concatenate(outs, axis=0)
+                results.append(micro_f1(outs, gr.y))
+            return tuple(results)
         outs = self.predict_all()
         g = self.graph
         metric = accuracy if self.use_ogb_acc else micro_f1

@@ -28,8 +28,10 @@ from vq_gnn_tpu.nn.model import (
     ModelStatic,
     activation,
     layer_forward,
+    layer_forward_bm,
     model_forward,
     zero_probes,
+    zero_probes_tr,
 )
 from vq_gnn_tpu.nn.vq import feature_update, vq_update
 from vq_gnn_tpu.sampler.batch import PaddedBatch
@@ -85,8 +87,10 @@ def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
         rng,
     ):
         probes = zero_probes(ms, batch.B_pad)
+        # empty list (not None) so it stays a valid differentiable pytree
+        probes_tr = zero_probes_tr(ms, batch.B_pad) if ms.transformer_flag else []
 
-        def loss_fn(params, probes):
+        def loss_fn(params, probes, probes_tr):
             x_B = jnp.take(X_dev, batch.batch_idx, axis=0)
             out, info_b, layer_inputs, new_bn = model_forward(
                 params,
@@ -99,6 +103,8 @@ def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
                 warm_up_rate=warm_up_rate,
                 training=True,
                 rng=rng,
+                vq_states_tr=state.vq_states_tr,
+                probes_tr=probes_tr,
             )
             mask = batch.train_mask & batch.valid_B
             if multilabel:
@@ -110,9 +116,9 @@ def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
             loss = loss_cls if cfg.ce_only else loss_cls + info_b
             return loss, (layer_inputs, new_bn, loss_cls, acc, info_b)
 
-        (loss, aux), (g_params, g_probes) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(state.params, probes)
+        (loss, aux), (g_params, g_probes, g_probes_tr) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(state.params, probes, probes_tr)
         layer_inputs, new_bn, loss_cls, acc, info_b = aux
 
         new_params, new_nu = rmsprop_update(
@@ -126,19 +132,40 @@ def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
             # skipped-optimizer windows (backward always fires hooks).
             for l in range(ms.num_layers):
                 nb = ms.num_branches[l]
-                c = nb * D
                 Xb = _branch_view(jax.lax.stop_gradient(layer_inputs[l]), nb, D)
-                Gb = _branch_view(g_probes[l][:, :c], nb, D)
+                gp = g_probes[l]
+                if gp.ndim == 3:  # bm GAT: [nb, B_pad, D+1] incl. ones-col grad
+                    Gb = gp
+                else:
+                    Gb = _branch_view(gp[:, : nb * D], nb, D)
                 new_vq[l], _ = vq_update(
                     new_vq[l], Xb, Gb, batch.batch_idx, ms.vq, valid=batch.valid_B
                 )
 
+        new_vq_tr = state.vq_states_tr
+        if live and ms.transformer_flag:
+            new_vq_tr = list(state.vq_states_tr)
+            for l in range(ms.num_layers):
+                nb = ms.num_branches[l]
+                Xb = _branch_view(jax.lax.stop_gradient(layer_inputs[l]), nb, D)
+                new_vq_tr[l], _ = vq_update(
+                    new_vq_tr[l],
+                    Xb,
+                    g_probes_tr[l],
+                    batch.batch_idx,
+                    ms.vq_tr,
+                    valid=batch.valid_B,
+                )
+
+        bad = [s.bad_init for s in new_vq]
+        if ms.transformer_flag:
+            bad += [s.bad_init for s in new_vq_tr]
         metrics = {
             "loss": loss,
             "loss_cls": loss_cls,
             "train_acc": acc,
             "info_backward": info_b,
-            "bad_init": jnp.any(jnp.stack([s.bad_init for s in new_vq])),
+            "bad_init": jnp.any(jnp.stack(bad)),
         }
         return (
             TrainState(
@@ -147,6 +174,7 @@ def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
                 bn_state=new_bn,
                 opt_nu=new_nu,
                 step=state.step + 1,
+                vq_states_tr=new_vq_tr,
             ),
             metrics,
         )
@@ -163,6 +191,7 @@ def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
             x_B,
             batch,
             training=False,
+            vq_states_tr=state.vq_states_tr,
         )
         return out
 
@@ -173,25 +202,43 @@ def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
         if layer_idx in _init_cache:
             return _init_cache[layer_idx]
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def init_step(vq_states, params, X_dev, batch: PaddedBatch):
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def init_step(vq_states, vq_states_tr, params, X_dev, batch: PaddedBatch):
             """model.init partial forward (``models.py v2:370-374`` +
             ``main_node.py v2:17-37``): every still-uninited block runs
             feature_update on the current activations, then the layer
             forward uses the freshly updated codebook."""
             x = jnp.take(X_dev, batch.batch_idx, axis=0)
             new_states = list(vq_states)
+            new_tr = list(vq_states_tr) if vq_states_tr else vq_states_tr
             for l in range(layer_idx):
                 nb = ms.num_branches[l]
                 Xb = _branch_view(x, nb, D)
                 new_states[l], _ = feature_update(
                     new_states[l], Xb, batch.batch_idx, ms.vq, valid=batch.valid_B
                 )
-                x, _ = layer_forward(
-                    params[l], new_states[l], ms, x, batch, None, 1.0, False
-                )
+                if ms.transformer_flag:
+                    new_tr[l], _ = feature_update(
+                        new_tr[l], Xb, batch.batch_idx, ms.vq_tr, valid=batch.valid_B
+                    )
+                if ms.formulation == "bm":
+                    x, _ = layer_forward_bm(
+                        params[l],
+                        new_states[l],
+                        ms,
+                        x,
+                        batch,
+                        None,
+                        1.0,
+                        False,
+                        vq_tr=new_tr[l] if ms.transformer_flag else None,
+                    )
+                else:
+                    x, _ = layer_forward(
+                        params[l], new_states[l], ms, x, batch, None, 1.0, False
+                    )
                 x = activation(x, ms.act)
-            return new_states
+            return new_states, new_tr
 
         _init_cache[layer_idx] = init_step
         return init_step
