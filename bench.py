@@ -25,6 +25,11 @@ def log(*a):
 
 def main():
     import jax
+
+    # persistent compile cache: repeat bench runs skip the (tunnel-remote)
+    # compilation of the many small init programs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from vq_gnn_tpu.config import Config
@@ -45,10 +50,13 @@ def main():
         sampler_type="cluster",
         num_parts=80,
         batch_size=40,
-        vq_update_mode="live",
+        vq_update_mode=os.environ.get("VQ_GNN_BENCH_MODE", "live"),
         warm_up_flag=True,
         skip=True,
         matmul_precision="default",  # bench rides the MXU; VQ ops stay exact
+        vq_backend=os.environ.get("VQ_GNN_BENCH_VQ_BACKEND", "xla"),
+        spmm_backend=os.environ.get("VQ_GNN_BENCH_SPMM", "ell"),
+        compute_dtype=os.environ.get("VQ_GNN_BENCH_DTYPE", "float32"),
     )
 
     path = os.path.join(cfg.data_root, "arxiv.npz")

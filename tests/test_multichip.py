@@ -76,3 +76,45 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(len(jax.devices()))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_2d_mesh_train_step():
+    """data x model mesh: branch-sharded VQ states + fan-in-sharded linears."""
+    from vq_gnn_tpu.parallel.mesh import make_mesh_2d, shard_train_inputs_2d
+
+    cfg = Config(
+        dataset="synthetic",
+        conv_type="GCN",
+        num_layers=2,
+        hidden_channels=16,
+        num_D=4,
+        num_M=8,
+        batch_size=128,
+        skip=True,
+        pad_multiple_nodes=64,
+        pad_multiple_edges=512,
+        vq_update_mode="live",
+    )
+    g, c = synthetic_sbm(num_nodes=400, num_features=16, seed=0)
+    g, c, _ = prepare(g, cfg, c)
+    ms = model_static(cfg, g.num_features, c)
+    state = init_train_state(jax.random.PRNGKey(0), ms, g.num_nodes)
+    state_b = init_train_state(jax.random.PRNGKey(0), ms, g.num_nodes)
+    fns = make_step_fns(ms, cfg, multilabel=False)
+    X_dev = device_features(g.x)
+    windows, _ = next(iter(BatchLoader(g, cfg, train_flag=True)))
+    batch = windows[0]
+    args = (jnp.float32(1.0), jnp.float32(0.01), jnp.float32(1.0), jax.random.PRNGKey(3))
+
+    s1, m1 = fns.train_step(state, X_dev, batch, *args)
+
+    mesh = make_mesh_2d(4, 2)
+    state_s, X_s, batch_s = shard_train_inputs_2d(mesh, state_b, X_dev, batch)
+    s2, m2 = fns.train_step(state_s, X_s, batch_s, *args)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for l in range(ms.num_layers):
+        np.testing.assert_array_equal(
+            np.asarray(s1.vq_states[l].c_indices),
+            np.asarray(s2.vq_states[l].c_indices),
+        )

@@ -23,7 +23,7 @@ def test_fused_assign_matches_xla():
     emb = jnp.asarray(rng.randn(M, K).astype(np.float32))
     valid = jnp.asarray(np.concatenate([np.ones(900, bool), np.zeros(100, bool)]))
 
-    idx, counts, sums = fused_assign(xn, emb, valid, tile_b=256, interpret=INTERPRET)
+    idx, counts, sums = fused_assign(xn, emb, valid, tile_b=1024, interpret=INTERPRET)
 
     ref_idx = nearest_codeword(xn, emb)
     ref_counts, ref_sums = assignment_stats(xn, ref_idx, M, valid)
@@ -46,6 +46,33 @@ def test_fused_assign_padding():
     xn = jnp.asarray(rng.randn(B, K).astype(np.float32))
     emb = jnp.asarray(rng.randn(M, K).astype(np.float32))
     valid = jnp.ones(B, bool)
-    idx, counts, _ = fused_assign(xn, emb, valid, tile_b=128, interpret=INTERPRET)
+    idx, counts, _ = fused_assign(xn, emb, valid, tile_b=1024, interpret=INTERPRET)
     assert idx.shape == (B,)
     assert float(jnp.sum(counts)) == B
+
+
+def test_vq_update_pallas_backend_matches_xla():
+    import dataclasses
+
+    from vq_gnn_tpu.nn.vq import VQParams, init_vq_state, vq_update
+
+    p_xla = VQParams(num_M=8, num_D=4, warm_up_flag=True, backend="xla")
+    p_pl = dataclasses.replace(p_xla, backend="pallas")
+    rng = np.random.RandomState(3)
+    s0 = init_vq_state(jax.random.PRNGKey(5), 2, 100, p_xla)
+    X = jnp.asarray(rng.randn(2, 64, 4).astype(np.float32))
+    G = jnp.asarray(rng.randn(2, 64, 4).astype(np.float32))
+    idxs = jnp.asarray(np.arange(64))
+
+    s1, i1 = vq_update(s0, X, G, idxs, p_xla)
+    s2, i2 = vq_update(s0, X, G, idxs, p_pl)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(s1.embedding), np.asarray(s2.embedding), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.embedding_output),
+        np.asarray(s2.embedding_output),
+        rtol=1e-4,
+        atol=1e-4,
+    )

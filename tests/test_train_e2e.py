@@ -113,3 +113,15 @@ def test_cont_sampler_window_skip():
     tr.run_init_sweep()
     loss, _ = tr.train_epoch(1)
     assert np.isfinite(loss)
+
+
+def test_bf16_compute_path():
+    """bfloat16 streaming dtype: trains, stays finite, learns."""
+    cfg = Config(conv_type="GCN", vq_update_mode="live", lr=0.05,
+                 compute_dtype="bfloat16", **BASE)
+    tr = build(cfg)
+    tr.run_init_sweep()
+    for epoch in range(1, 9):
+        loss, _ = tr.train_epoch(epoch)
+        assert np.isfinite(loss)
+    assert tr.evaluate()[1] > 0.5

@@ -54,6 +54,9 @@ class ModelStatic:
     vq: VQParams
     # 'bbprime' (v2 B+B') or 'bm' (v1 B+M mapper formulation)
     formulation: str = "bbprime"
+    # streaming dtype for the aggregate (gathered features + edge values);
+    # accumulation stays f32. 'bfloat16' halves the dominant HBM traffic.
+    compute_dtype: str = "float32"
     # v1 parallel low-rank global-attention branch (v1/models.py:342-362)
     transformer_flag: bool = False
 
@@ -86,6 +89,7 @@ def model_static(cfg: Config, in_channels: int, out_channels: int) -> ModelStati
         # do only for GAT (v1/models.py:53 with block transformer_flag=False,
         # v1:278); transformer blocks always do (v1:272) — see vq_tr below.
         add_flag=cfg.formulation == "bm" and cfg.conv_type == "GAT",
+        backend=cfg.vq_backend,
     )
     if cfg.dropbranch > 0:
         # cat of a branch subset mismatches gnn_transform's fan-in in the
@@ -107,6 +111,7 @@ def model_static(cfg: Config, in_channels: int, out_channels: int) -> ModelStati
         vq=vq,
         formulation=cfg.formulation,
         transformer_flag=cfg.transformer_flag,
+        compute_dtype=cfg.compute_dtype,
     )
 
 
@@ -261,6 +266,9 @@ def layer_forward(
     if gat:
         ones = jnp.ones((x_input.shape[0], 1), x_input.dtype)
         x_input = jnp.concatenate([x_input, ones], axis=1)
+    cd = jnp.dtype(ms.compute_dtype)
+    if x_input.dtype != cd:
+        x_input = x_input.astype(cd)
 
     # conv: plain (or attention-weighted) SpMM over the padded local adjacency
     if gat:

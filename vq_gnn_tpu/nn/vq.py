@@ -51,6 +51,8 @@ class VQParams:
     warm_up_flag: bool = False  # Laplace smoothing of cluster sizes
     momentum: float = 0.1  # grad-BN running-stat momentum (vq.py:87-88)
     add_flag: bool = False  # quantize one extra (ones-column) grad dim
+    # 'pallas' fuses distance->argmin->stats in VMEM (TPU); 'xla' fallback
+    backend: str = "xla"
 
     @property
     def grad_dim(self) -> int:
@@ -120,6 +122,30 @@ def _bn_train(x, r_mean, r_var, eps, momentum, valid):
     return xn, new_mean, new_var
 
 
+def _assign_and_stats(xn, emb, valid, p: VQParams):
+    """(idx [nb, B], counts [nb, M], sums [nb, M, k]) over the branch axis.
+
+    The one-hot GEMM lowering round-trips [B, M] one-hot + distance tiles
+    through HBM; the Pallas backend keeps both in VMEM (ops/pallas_vq.py).
+    """
+    if valid is None:
+        valid = jnp.ones(xn.shape[1], dtype=bool)
+    if p.backend == "pallas":
+        from vq_gnn_tpu.ops.pallas_vq import fused_assign_branches
+
+        # interpret mode keeps the kernel testable on CPU
+        return fused_assign_branches(
+            xn, emb, valid, interpret=jax.default_backend() == "cpu"
+        )
+
+    def one(x, e):
+        idx = nearest_codeword(x, e)
+        counts, sums = assignment_stats(x, idx, p.num_M, valid)
+        return idx, counts, sums
+
+    return jax.vmap(one)(xn, emb)
+
+
 def _ema_counts(size, counts, p: VQParams):
     """EMA cluster-size update + optional Laplace smoothing (vq.py:242-251)."""
     size = size * p.decay + (1.0 - p.decay) * counts
@@ -143,34 +169,37 @@ def feature_update(
     Used by the layerwise init bootstrap and by uninited/unlabeled blocks."""
     D = p.num_D
 
-    def one_branch(x, emb, emb_out, size, ema_w, r_mean, r_var):
-        xn, new_mean, new_var = _bn_train(
-            x, r_mean, r_var, BN_FEAT_EPS, BN_FEAT_MOMENTUM, valid
-        )
-        idx = nearest_codeword(xn, emb[:, :D])
-        if not training:
-            return emb, emb_out, size, ema_w, r_mean, r_var, idx, jnp.asarray(False)
-        counts, sums = assignment_stats(xn, idx, p.num_M, valid)
-        new_size = _ema_counts(size, counts, p)
+    xn, new_mean, new_var = jax.vmap(
+        lambda x, m, v: _bn_train(x, m, v, BN_FEAT_EPS, BN_FEAT_MOMENTUM, valid)
+    )(X_B, state.bn_feat_mean, state.bn_feat_var)
+    idx, counts, sums = _assign_and_stats(xn, state.embedding[:, :, :D], valid, p)
+
+    if not training:
+        return state, idx
+
+    def one_branch(emb, emb_out, size, ema_w, counts_b, sums_b, nm, nv):
+        new_size = _ema_counts(size, counts_b, p)
         bad = jnp.any(new_size == 0)
-        new_ema_feat = ema_w[:, :D] * p.decay + (1.0 - p.decay) * sums
+        new_ema_feat = ema_w[:, :D] * p.decay + (1.0 - p.decay) * sums_b
         new_emb_feat = new_ema_feat / new_size[:, None]
-        run_std = jnp.sqrt(new_var + BN_FEAT_EPS)
-        new_out_feat = new_emb_feat * run_std[None, :] + new_mean[None, :]
+        run_std = jnp.sqrt(nv + BN_FEAT_EPS)
+        new_out_feat = new_emb_feat * run_std[None, :] + nm[None, :]
         emb = emb.at[:, :D].set(new_emb_feat)
         ema_w = ema_w.at[:, :D].set(new_ema_feat)
         emb_out = emb_out.at[:, :D].set(new_out_feat)
-        return emb, emb_out, new_size, ema_w, new_mean, new_var, idx, bad
+        return emb, emb_out, new_size, ema_w, bad
 
-    emb, emb_out, size, ema_w, r_mean, r_var, idx, bad = jax.vmap(one_branch)(
-        X_B,
+    emb, emb_out, size, ema_w, bad = jax.vmap(one_branch)(
         state.embedding,
         state.embedding_output,
         state.ema_cluster_size,
         state.ema_w,
-        state.bn_feat_mean,
-        state.bn_feat_var,
+        counts,
+        sums,
+        new_mean,
+        new_var,
     )
+    r_mean, r_var = new_mean, new_var
     c_indices = state.c_indices.at[:, batch_idx].set(
         idx.astype(jnp.int16), mode="drop"
     )
@@ -213,7 +242,7 @@ def vq_update(
         v = jnp.where(state.bn_inited, r_var, b_var_u)
         return m, v
 
-    def one_branch(x, g, emb, emb_out, size, ema_w, f_mean, f_var, g_mean, g_var):
+    def normalize(x, g, f_mean, f_var, g_mean, g_var):
         f_mean, f_var = seed(x, f_mean, f_var)
         g_mean, g_var = seed(g, g_mean, g_var)
         xn_f, f_mean, f_var = _bn_train(
@@ -224,13 +253,22 @@ def vq_update(
         scale = jnp.ones((p.total_dim,), jnp.float32).at[D : 2 * D].set(gs0)
         if p.add_flag:
             scale = scale.at[2 * D].set(gs1)
-        xn = xn * scale[None, :]
+        return xn * scale[None, :], f_mean, f_var, g_mean, g_var
 
-        idx = nearest_codeword(xn, emb)
-        counts, sums = assignment_stats(xn, idx, p.num_M, valid)
-        new_size = _ema_counts(size, counts, p)
+    xn, f_mean_n, f_var_n, g_mean_n, g_var_n = jax.vmap(normalize)(
+        X_B,
+        grad,
+        state.bn_feat_mean,
+        state.bn_feat_var,
+        state.bn_grad_mean,
+        state.bn_grad_var,
+    )
+    idx, counts, sums = _assign_and_stats(xn, state.embedding, valid, p)
+
+    def one_branch(emb, emb_out, size, ema_w, counts_b, sums_b, f_mean, f_var, g_mean, g_var):
+        new_size = _ema_counts(size, counts_b, p)
         bad = jnp.any(new_size == 0)
-        new_ema_w = ema_w * p.decay + (1.0 - p.decay) * sums
+        new_ema_w = ema_w * p.decay + (1.0 - p.decay) * sums_b
         new_emb = new_ema_w / new_size[:, None]
 
         # De-normalize for the lookup table (vq.py:261-272): undo grad_scale
@@ -245,21 +283,19 @@ def vq_update(
         out = out * jnp.sqrt(run_var)[None, :] + run_mean[None, :]
         if gs0 == 0:  # static python float check (vq.py:274-275)
             out = out.at[:, D:].set(0.0)
-        return new_emb, out, new_size, new_ema_w, f_mean, f_var, g_mean, g_var, idx, bad
+        return new_emb, out, new_size, new_ema_w, bad
 
-    emb, emb_out, size, ema_w, f_mean, f_var, g_mean, g_var, idx, bad = jax.vmap(
-        one_branch
-    )(
-        X_B,
-        grad,
+    emb, emb_out, size, ema_w, bad = jax.vmap(one_branch)(
         state.embedding,
         state.embedding_output,
         state.ema_cluster_size,
         state.ema_w,
-        state.bn_feat_mean,
-        state.bn_feat_var,
-        state.bn_grad_mean,
-        state.bn_grad_var,
+        counts,
+        sums,
+        f_mean_n,
+        f_var_n,
+        g_mean_n,
+        g_var_n,
     )
     c_indices = state.c_indices.at[:, batch_idx].set(
         idx.astype(jnp.int16), mode="drop"
@@ -270,10 +306,10 @@ def vq_update(
             embedding_output=emb_out,
             ema_cluster_size=size,
             ema_w=ema_w,
-            bn_feat_mean=f_mean,
-            bn_feat_var=f_var,
-            bn_grad_mean=g_mean,
-            bn_grad_var=g_var,
+            bn_feat_mean=f_mean_n,
+            bn_feat_var=f_var_n,
+            bn_grad_mean=g_mean_n,
+            bn_grad_var=g_var_n,
             c_indices=c_indices,
             bn_inited=jnp.asarray(True),
             bad_init=state.bad_init | jnp.any(bad),

@@ -38,20 +38,32 @@ def _assign_kernel(xn_ref, emb_ref, valid_ref, idx_ref, counts_ref, sums_ref):
         jnp.sum(emb * emb, axis=1)[None, :]
         - 2.0 * jnp.dot(xn, emb.T, preferred_element_type=jnp.float32)
     )  # [TB, M]
-    idx = jnp.argmin(d, axis=1).astype(jnp.int32)
-    idx_ref[:] = idx[:, None]
-
     M = emb.shape[0]
+    # manual first-argmin (min + compare + index-min) — Mosaic's generic
+    # argmin lowering blows the scoped-VMEM budget at these tile shapes
+    d_min = jnp.min(d, axis=1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    idx = jnp.min(jnp.where(d <= d_min, col, M), axis=1).astype(jnp.int32)
+    # idx written as full 128-lane rows (a [TB, 1] output would be
+    # lane-padded to [TB, 128] in VMEM and blow the scoped budget)
+    idx_ref[:] = idx.reshape(idx_ref.shape)
+
     onehot = (idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)).astype(
         jnp.float32
     )
     onehot = onehot * valid
     counts_ref[:] += jnp.sum(onehot, axis=0)[None, :]
-    sums_ref[:] += jnp.dot(onehot.T, xn, preferred_element_type=jnp.float32)
+    # contract over the batch tile without an explicit transpose
+    sums_ref[:] += jax.lax.dot_general(
+        onehot,
+        xn,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
-def fused_assign(xn, emb, valid, tile_b: int = 512, interpret: bool = False):
+def fused_assign(xn, emb, valid, tile_b: int = 1024, interpret: bool = False):
     """(idx [B] i32, counts [M] f32, sums [M, K] f32) for one branch.
 
     Matches nearest_codeword + assignment_stats exactly (same expanded-square
@@ -59,11 +71,13 @@ def fused_assign(xn, emb, valid, tile_b: int = 512, interpret: bool = False):
     """
     B, K = xn.shape
     M = emb.shape[0]
+    assert tile_b % 1024 == 0, "tile_b must be a multiple of 1024 (idx rows of 8x128)"
     B_pad = ((B + tile_b - 1) // tile_b) * tile_b
     if B_pad != B:
         xn = jnp.pad(xn, ((0, B_pad - B), (0, 0)))
         valid = jnp.pad(valid, (0, B_pad - B))
     v2 = valid.astype(jnp.float32)[:, None]
+    tr = tile_b // 128  # idx rows per tile at full 128-lane width
 
     grid = (B_pad // tile_b,)
     idx, counts, sums = pl.pallas_call(
@@ -75,20 +89,20 @@ def fused_assign(xn, emb, valid, tile_b: int = 512, interpret: bool = False):
             pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B_pad // 128, 128), jnp.int32),
             jax.ShapeDtypeStruct((1, M), jnp.float32),
             jax.ShapeDtypeStruct((M, K), jnp.float32),
         ],
         interpret=interpret,
     )(xn, emb, v2)
-    return idx[:B, 0], counts[0], sums
+    return idx.reshape(B_pad)[:B], counts[0], sums
 
 
-def fused_assign_branches(xn, emb, valid, tile_b: int = 512, interpret: bool = False):
+def fused_assign_branches(xn, emb, valid, tile_b: int = 1024, interpret: bool = False):
     """vmap over the branch axis: xn [nb, B, K], emb [nb, M, K] -> stacked."""
     return jax.vmap(lambda x, e: fused_assign(x, e, valid, tile_b, interpret))(xn, emb)

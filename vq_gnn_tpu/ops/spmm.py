@@ -61,6 +61,8 @@ class Edges(struct.PyTreeNode):
 
 def _segment_matvec(row, col, val, x, num_rows, sorted_rows):
     msgs = jnp.take(x, col, axis=0, mode="clip") * val[:, None]
+    if msgs.dtype != jnp.float32:  # bf16 inputs: accumulate in f32
+        msgs = msgs.astype(jnp.float32)
     out = jax.ops.segment_sum(
         msgs, row, num_segments=num_rows + 1, indices_are_sorted=sorted_rows
     )
@@ -74,7 +76,10 @@ def _ell_matvec(ell_row, ell_col, ell_val, x, num_rows):
     nbrs = jnp.take(x, ell_col.reshape(-1), axis=0, mode="clip").reshape(
         S, K, x.shape[1]
     )
-    part = jnp.einsum("sk,skd->sd", ell_val, nbrs)
+    # f32 accumulation regardless of the (possibly bf16) streaming dtype
+    part = jnp.einsum(
+        "sk,skd->sd", ell_val, nbrs, preferred_element_type=jnp.float32
+    )
     out = jax.ops.segment_sum(
         part, ell_row, num_segments=num_rows + 1, indices_are_sorted=True
     )
@@ -88,7 +93,9 @@ def _ell_sddmm(ell_row, ell_col, g, x):
     x_cols = jnp.take(x, ell_col.reshape(-1), axis=0, mode="clip").reshape(
         S, K, x.shape[1]
     )
-    return jnp.einsum("sd,skd->sk", g_rows, x_cols)
+    return jnp.einsum(
+        "sd,skd->sk", g_rows, x_cols, preferred_element_type=jnp.float32
+    )
 
 
 @jax.custom_vjp
@@ -109,18 +116,27 @@ def _spmm_bwd(res, g):
     if edges.ell_row is not None:
         if edges.t_ell_row is None:
             raise ValueError("ELL edges need t_ell_* for the backward pass")
-        dx = _ell_matvec(edges.t_ell_row, edges.t_ell_col, edges.t_ell_val, g, num_cols)
-        dval_ell = _ell_sddmm(edges.ell_row, edges.ell_col, g, x)
+        # stream the cotangent at the forward's compute dtype (bf16 halves
+        # the backward gather traffic too); accumulation stays f32
+        g_s = g.astype(x.dtype) if x.dtype != g.dtype else g
+        dx = _ell_matvec(
+            edges.t_ell_row, edges.t_ell_col, edges.t_ell_val, g_s, num_cols
+        ).astype(x.dtype)
+        dval_ell = _ell_sddmm(edges.ell_row, edges.ell_col, g_s, x).astype(
+            edges.ell_val.dtype
+        )
         d_edges = jax.tree.map(jnp.zeros_like, edges).replace(ell_val=dval_ell)
         return d_edges, dx
 
+    g_s = g.astype(x.dtype) if x.dtype != g.dtype else g
     if edges.tperm is not None:
         t_row = jnp.take(edges.col, edges.tperm)
         t_col = jnp.take(edges.row, edges.tperm)
         t_val = jnp.take(edges.val, edges.tperm)
-        dx = _segment_matvec(t_row, t_col, t_val, g, num_cols, True)
+        dx = _segment_matvec(t_row, t_col, t_val, g_s, num_cols, True)
     else:
-        dx = _segment_matvec(edges.col, edges.row, edges.val, g, num_cols, False)
+        dx = _segment_matvec(edges.col, edges.row, edges.val, g_s, num_cols, False)
+    dx = dx.astype(x.dtype)
     # SDDMM for d val (only materialized if the caller needs grads wrt val).
     dval = jnp.sum(
         jnp.take(g, edges.row, axis=0, mode="clip")

@@ -36,8 +36,71 @@ def make_mesh(n_devices: int = 0) -> Mesh:
     return Mesh(mesh_devs, axis_names=("data",))
 
 
+def make_mesh_2d(n_data: int, n_model: int) -> Mesh:
+    """2-D mesh: 'data' shards batch rows/edges, 'model' shards the branch
+    axis (the embarrassingly-parallel feature-split codebooks, SURVEY §5.7:
+    the branch axis is this workload's tensor-parallel dimension)."""
+    devs = jax.devices()
+    need = n_data * n_model
+    if len(devs) < need:
+        raise RuntimeError(f"need {need} devices, have {len(devs)}")
+    mesh_devs = np.asarray(devs[:need]).reshape(n_data, n_model)
+    return Mesh(mesh_devs, axis_names=("data", "model"))
+
+
 def _put(x, sharding):
     return None if x is None else jax.device_put(x, sharding)
+
+
+def _shard_vq_state_model(mesh: Mesh, vq_state):
+    """Shard a VQState's leading branch axis over 'model'; scalars replicate."""
+    from jax.sharding import NamedSharding as NS
+
+    def place(a):
+        if a is None:
+            return None
+        if getattr(a, "ndim", 0) >= 1:
+            return jax.device_put(a, NS(mesh, P(*(("model",) + (None,) * (a.ndim - 1)))))
+        return jax.device_put(a, NS(mesh, P()))
+
+    return jax.tree.map(place, vq_state)
+
+
+def shard_train_inputs_2d(mesh: Mesh, state, X_dev, batch):
+    """data x model placement: rows/edges over 'data'; the VQ branch axis and
+    the branch-split fan-in of the layer linears over 'model'; everything
+    else replicated.  XLA inserts the psums (grad all-reduce over 'data',
+    fan-in partial-sum all-reduce over 'model')."""
+    repl = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P("data"))
+
+    def place_params(layer):
+        out = {}
+        for k, v in layer.items():
+            if k in ("gnn_transform", "linear_skip", "fc_sage", "transformer_v", "transformer_res"):
+                out[k] = {
+                    "w": jax.device_put(v["w"], NamedSharding(mesh, P("model", None))),
+                    "b": jax.device_put(v["b"], repl),
+                }
+            elif k in ("att_l", "att_r") and v.ndim == 2:  # bm per-branch [nb, D+1]
+                out[k] = jax.device_put(v, NamedSharding(mesh, P("model", None)))
+            else:
+                out[k] = jax.tree.map(lambda a: _put(a, repl), v)
+        return out
+
+    state_s = state.replace(
+        params=[place_params(l) for l in state.params],
+        vq_states=[_shard_vq_state_model(mesh, s) for s in state.vq_states],
+        vq_states_tr=None
+        if state.vq_states_tr is None
+        else [_shard_vq_state_model(mesh, s) for s in state.vq_states_tr],
+        bn_state=jax.tree.map(lambda a: _put(a, repl), state.bn_state),
+        opt_nu=[place_params(l) for l in state.opt_nu],
+        step=_put(state.step, repl),
+    )
+    X_s = _put(X_dev, repl)
+    _, _, batch_s = shard_train_inputs(mesh, state.step, X_dev, batch)
+    return state_s, X_s, batch_s
 
 
 def shard_train_inputs(mesh: Mesh, state, X_dev, batch):

@@ -123,12 +123,12 @@ def build_padded_batch(
             cs[t_order], rs[t_order], vs[t_order], dim_pad, ell_K, St_pad
         )
         edges = Edges(
-            ell_row=jnp.asarray(er_),
-            ell_col=jnp.asarray(ec_),
-            ell_val=jnp.asarray(ev_),
-            t_ell_row=jnp.asarray(tr_),
-            t_ell_col=jnp.asarray(tc_),
-            t_ell_val=jnp.asarray(tv_),
+            ell_row=np.asarray(er_),
+            ell_col=np.asarray(ec_),
+            ell_val=np.asarray(ev_),
+            t_ell_row=np.asarray(tr_),
+            t_ell_col=np.asarray(tc_),
+            t_ell_val=np.asarray(tv_),
             num_rows=dim_pad,
         )
     else:
@@ -140,10 +140,10 @@ def build_padded_batch(
             np.argsort(col, kind="stable").astype(np.int32) if with_transpose else None
         )
         edges = Edges(
-            row=jnp.asarray(row),
-            col=jnp.asarray(col),
-            val=jnp.asarray(val),
-            tperm=None if tperm is None else jnp.asarray(tperm),
+            row=np.asarray(row),
+            col=np.asarray(col),
+            val=np.asarray(val),
+            tperm=None if tperm is None else np.asarray(tperm),
             num_rows=dim_pad,
         )
 
@@ -176,20 +176,20 @@ def build_padded_batch(
         link_mask = np.zeros(L_pad, bool)
         link_src[: len(ls)], link_dst[: len(ld)] = ls, ld
         link_mask[: len(ls)] = True
-        link_src = jnp.asarray(link_src)
-        link_dst = jnp.asarray(link_dst)
-        link_mask = jnp.asarray(link_mask)
+        link_src = np.asarray(link_src)
+        link_dst = np.asarray(link_dst)
+        link_mask = np.asarray(link_mask)
 
     return PaddedBatch(
-        batch_idx=jnp.asarray(pad_ids(node_idx, B_pad)),
-        fo_ids=jnp.asarray(pad_ids(fo_ids, Bp_pad)),
-        valid_B=jnp.asarray(valid_B),
-        valid_fo=jnp.asarray(valid_fo),
+        batch_idx=np.asarray(pad_ids(node_idx, B_pad)),
+        fo_ids=np.asarray(pad_ids(fo_ids, Bp_pad)),
+        valid_B=np.asarray(valid_B),
+        valid_fo=np.asarray(valid_fo),
         edges=edges,
-        num_B=jnp.asarray(B, jnp.int32),
-        y=None if y is None else jnp.asarray(pad_rows(y)),
-        train_mask=None if train_mask is None else jnp.asarray(pad_rows(train_mask, False)),
-        deg_inv_B=None if deg_inv_B is None else jnp.asarray(pad_rows(deg_inv_B, 0.0)),
+        num_B=np.asarray(B, jnp.int32),
+        y=None if y is None else np.asarray(pad_rows(y)),
+        train_mask=None if train_mask is None else np.asarray(pad_rows(train_mask, False)),
+        deg_inv_B=None if deg_inv_B is None else np.asarray(pad_rows(deg_inv_B, 0.0)),
         link_src=link_src,
         link_dst=link_dst,
         link_mask=link_mask,
@@ -210,7 +210,7 @@ def _pad_bm_rev(bm_rev, R_pad, num_N):
     colg[: len(rc)] = rc
     val[: len(rv)] = rv
     return dict(
-        bm_rev_row=jnp.asarray(row),
-        bm_rev_col=jnp.asarray(colg),
-        bm_rev_val=jnp.asarray(val),
+        bm_rev_row=np.asarray(row),
+        bm_rev_col=np.asarray(colg),
+        bm_rev_val=np.asarray(val),
     )

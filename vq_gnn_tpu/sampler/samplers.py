@@ -425,9 +425,21 @@ class BatchLoader:
         for windows in self._node_batches(rng):
             yield [self._build(idx) for idx in windows], windows
 
+    @staticmethod
+    def _to_device(item):
+        """Device placement happens in the CONSUMER thread: issuing transfers
+        from the producer thread races main-thread TPU work and deadlocks the
+        single-chip runtime in this environment."""
+        import jax
+        import jax.numpy as jnp
+
+        windows, raw = item
+        return [jax.tree.map(jnp.asarray, w) for w in windows], raw
+
     def __iter__(self):
         if not getattr(self, "prefetch", True):
-            yield from self._epoch_iter()
+            for item in self._epoch_iter():
+                yield self._to_device(item)
             return
         # background thread overlaps host-side subgraph/ELL construction with
         # the device step (the reference's DataLoader num_workers analogue)
@@ -453,7 +465,7 @@ class BatchLoader:
             item = q.get()
             if item is DONE:
                 break
-            yield item
+            yield self._to_device(item)
         t.join()
         if err:
             raise err[0]
