@@ -118,3 +118,25 @@ def test_random_walk_valid_steps(small_graph):
             v, u = walks[i, s], walks[i, s + 1]
             nbrs = col[rowptr[v] : rowptr[v + 1]]
             assert (u in nbrs) or (len(nbrs) == 0 and u == v)
+
+
+def test_native_ell_build_matches_numpy():
+    from vq_gnn_tpu.native import lib as native_lib
+    from vq_gnn_tpu.ops.spmm import build_ell_host
+
+    if not native_lib.available():
+        pytest.skip("native lib not built")
+    rng = np.random.RandomState(5)
+    E, n, K = 500, 60, 4
+    row = np.sort(rng.randint(0, n, E))
+    col = rng.randint(0, n, E).astype(np.int64)
+    val = rng.randn(E).astype(np.float32)
+    deg = np.bincount(row, minlength=n)
+    S = int(((deg + K - 1) // K).sum())
+    nr, nc, nv = native_lib.build_ell(row, col, val, n, K, S + 7)
+    # numpy path (S_pad=0 forces the fallback)
+    pr, pc, pv = build_ell_host(row, col, val, n, K, 0)
+    np.testing.assert_array_equal(nr[:S], pr[:S])
+    np.testing.assert_array_equal(nc[:S], pc[:S])
+    np.testing.assert_allclose(nv[:S], pv[:S])
+    assert (nr[S:] == n).all() and (nv[S:] == 0).all()

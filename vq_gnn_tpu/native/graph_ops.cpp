@@ -96,6 +96,32 @@ void vq_free_subgraph(SubgraphResult *r) {
   free(r);
 }
 
+// Slot-ELL construction from row-sorted COO (see ops/spmm.py:build_ell_host).
+// Splits each row's edges into slots of K; emits (slot row, K cols, K vals)
+// padded with (num_rows, num_rows, 0).  out_* are preallocated: ell_row
+// [S_pad], ell_col/ell_val [S_pad*K] row-major.
+void vq_build_ell(const int64_t *row, const int64_t *col, const float *val,
+                  int64_t E, int64_t num_rows, int64_t K, int64_t S_pad,
+                  int32_t *ell_row, int32_t *ell_col, float *ell_val) {
+  for (int64_t s = 0; s < S_pad; ++s) ell_row[s] = (int32_t)num_rows;
+  for (int64_t i = 0; i < S_pad * K; ++i) {
+    ell_col[i] = (int32_t)num_rows;
+    ell_val[i] = 0.0f;
+  }
+  int64_t sid = -1, cur_row = -1, k = 0;
+  for (int64_t e = 0; e < E; ++e) {
+    if (row[e] != cur_row || k == K) {
+      if (row[e] != cur_row) cur_row = row[e];
+      ++sid;
+      k = 0;
+      ell_row[sid] = (int32_t)cur_row;
+    }
+    ell_col[sid * K + k] = (int32_t)col[e];
+    ell_val[sid * K + k] = val[e];
+    ++k;
+  }
+}
+
 // Uniform random walk (torch_cluster semantics: isolated nodes stay put).
 // out is [n, length+1] row-major, preallocated by the caller.
 void vq_random_walk(const int64_t *rowptr, const int64_t *col, int64_t num_N,

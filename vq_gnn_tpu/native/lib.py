@@ -66,6 +66,11 @@ def _load() -> Optional[ctypes.CDLL]:
         i64p, i64p, ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.vq_build_ell.argtypes = [
+        i64p, i64p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, i32p, i32p, f32p,
+    ]
     _lib = lib
     return _lib
 
@@ -119,6 +124,28 @@ def random_walk(rowptr, col, starts, length, seed) -> np.ndarray:
         _ptr(out, ctypes.c_int64),
     )
     return out
+
+
+def build_ell(row, col, val, num_rows, K, S_pad):
+    lib = _load()
+    row, col = _i64(row), _i64(col)
+    val = np.ascontiguousarray(val, dtype=np.float32)
+    ell_row = np.empty(S_pad, np.int32)
+    ell_col = np.empty((S_pad, K), np.int32)
+    ell_val = np.empty((S_pad, K), np.float32)
+    lib.vq_build_ell(
+        _ptr(row, ctypes.c_int64),
+        _ptr(col, ctypes.c_int64),
+        _ptr(val, ctypes.c_float),
+        len(row),
+        num_rows,
+        K,
+        S_pad,
+        _ptr(ell_row, ctypes.c_int32),
+        _ptr(ell_col, ctypes.c_int32),
+        _ptr(ell_val, ctypes.c_float),
+    )
+    return ell_row, ell_col, ell_val
 
 
 def partition(adj, num_parts: int) -> np.ndarray:

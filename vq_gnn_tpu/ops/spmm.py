@@ -162,6 +162,14 @@ def build_ell_host(row, col, val, num_rows: int, K: int, S_pad: int = 0):
     row = np.asarray(row, np.int64)
     col = np.asarray(col, np.int64)
     val = np.asarray(val, np.float32)
+    if S_pad > 0:
+        try:
+            from vq_gnn_tpu.native import lib as native_lib
+
+            if native_lib.available():
+                return native_lib.build_ell(row, col, val, num_rows, K, S_pad)
+        except ImportError:
+            pass
     deg = np.bincount(row, minlength=num_rows)
     starts = np.concatenate([[0], np.cumsum(deg)])
     pos = np.arange(len(row)) - starts[row]

@@ -199,6 +199,36 @@ class NodeTrainer:
             metric(outs, y, g.test_mask),
         )
 
+    # ---- inductive stochastic eval with per-split c tables ----
+    def evaluate_split_stochastic(self, graph: HostGraph, batch_size: int):
+        """v1-inductive-style eval on another graph: assignments recomputed
+        per batch into a fresh per-split codeword table (SURVEY §3.3)."""
+        import jax.numpy as jnp
+
+        loader = BatchLoader(
+            graph,
+            self.cfg,
+            train_flag=False,
+            sampler_type="node",
+            batch_size=batch_size,
+            shuffle=False,
+            seed=self.cfg.seed + 7,
+        )
+        X_dev = device_features(graph.x)
+        c_tables = [
+            jnp.zeros(
+                (self.ms.num_branches[l], graph.num_nodes + 1), jnp.int16
+            )
+            for l in range(self.ms.num_layers)
+        ]
+        outs = []
+        for windows, raw in loader:
+            out, c_tables = self.fns.eval_assign_step(
+                self.state, c_tables, X_dev, windows[0]
+            )
+            outs.append(np.asarray(out)[: len(raw[0])])
+        return np.concatenate(outs, axis=0)
+
     # ---- full run (main_node.py v2:233-308) ----
     def fit(self, run: int = 0, verbose: bool = True):
         cfg = self.cfg

@@ -69,6 +69,7 @@ class StepFns:
     train_step: Callable
     eval_step: Callable
     init_step_for: Callable  # layer_idx -> jitted init-sweep step
+    eval_assign_step: Callable = None  # inductive per-split c-table eval
 
 
 def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
@@ -195,6 +196,47 @@ def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
         )
         return out
 
+    # ---------------- inductive stochastic eval ----------------
+    @jax.jit
+    def eval_assign_step(state: TrainState, c_tables, X_dev, batch: PaddedBatch):
+        """Stochastic eval on a *different* graph with per-split codeword
+        tables (v1 ``models_inductive.py:242-292``): each layer assigns the
+        batch's features to their nearest feature-half codeword, scatters
+        into the split's own c table (sized for that graph), and runs the
+        forward against it.  Codebooks themselves are frozen (eval mode).
+        Returns (out, updated c_tables)."""
+        x = jnp.take(X_dev, batch.batch_idx, axis=0)
+        new_tables = list(c_tables)
+        out = x
+        for l in range(ms.num_layers):
+            nb = ms.num_branches[l]
+            Xb = _branch_view(out, nb, D)
+            st = state.vq_states[l]
+            _, idx = feature_update(
+                st, Xb, batch.batch_idx, ms.vq, valid=batch.valid_B, training=False
+            )
+            new_tables[l] = new_tables[l].at[:, batch.batch_idx].set(
+                idx.astype(jnp.int16), mode="drop"
+            )
+            st = st.replace(c_indices=new_tables[l])
+            if ms.formulation == "bm":
+                out, _ = layer_forward_bm(
+                    state.params[l], st, ms, out, batch, None, 1.0, False
+                )
+            else:
+                out, _ = layer_forward(
+                    state.params[l], st, ms, out, batch, None, 1.0, False
+                )
+            if l < ms.num_layers - 1:
+                if ms.bn_flag:
+                    from vq_gnn_tpu.nn.model import batchnorm_infer
+
+                    out = batchnorm_infer(
+                        out, state.bn_state.mean[l], state.bn_state.var[l]
+                    )
+                out = activation(out, ms.act)
+        return out, new_tables
+
     # ---------------- layerwise init sweep ----------------
     _init_cache: Dict[int, Callable] = {}
 
@@ -243,4 +285,9 @@ def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
         _init_cache[layer_idx] = init_step
         return init_step
 
-    return StepFns(train_step=train_step, eval_step=eval_step, init_step_for=init_step_for)
+    return StepFns(
+        train_step=train_step,
+        eval_step=eval_step,
+        init_step_for=init_step_for,
+        eval_assign_step=eval_assign_step,
+    )
