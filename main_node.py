@@ -36,6 +36,26 @@ def parse_args():
     p.add_argument("--dropbranch", type=float, default=0.0)
     p.add_argument("--sampler-type", type=str, default="node",
                    choices=["node", "edge", "rw", "cont", "cluster"])
+    # accepted-for-surface-parity flags (vestigial in the reference too:
+    # --use-gcn "not used" per its parser, --num-branch/--cluster/--ln-para/
+    # --no-second-fc/--weight-ahead gate dead or single-path code)
+    p.add_argument("--EMA", action="store_false", default=True)
+    p.add_argument("--split", action="store_false", default=True)
+    p.add_argument("--no-second-fc", action="store_false", default=True)
+    p.add_argument("--ln-para", action="store_true")
+    p.add_argument("--kmeans-init", action="store_true")
+    p.add_argument("--kmeans-iter", type=int, default=100)
+    p.add_argument("--weight-ahead", action="store_true")
+    p.add_argument("--use-gcn", action="store_true")
+    p.add_argument("--num-branch", type=int, default=0)
+    p.add_argument("--cluster", type=str, default="vq")
+    p.add_argument("--clip", nargs="+", type=float, default=None)
+    p.add_argument("--device", type=int, default=0)
+    p.add_argument("--num-workers", type=int, default=0)
+    p.add_argument("--exp-name", type=str, default="test")
+    p.add_argument("--exp", action="store_true")
+    p.add_argument("--exp-tag", type=str, default="exp")
+    p.add_argument("--run-idx", type=int)
     p.add_argument("--num-parts", type=int, default=1)
     p.add_argument("--walk-length", type=int, default=5)
     p.add_argument("--cont-sliding-window", type=int, default=1)
@@ -94,6 +114,11 @@ def main():
         runs=a.runs,
         log_steps=a.log_steps,
         seed=a.seed,
+        split=a.split,
+        ema_flag=a.EMA,
+        kmeans_init=a.kmeans_init,
+        kmeans_iter=a.kmeans_iter,
+        clip=a.clip,
         transformer_flag=a.transformer_flag,
         formulation=a.formulation,
         vq_update_mode=a.vq_update_mode,

@@ -125,3 +125,14 @@ def test_bf16_compute_path():
         loss, _ = tr.train_epoch(epoch)
         assert np.isfinite(loss)
     assert tr.evaluate()[1] > 0.5
+
+
+def test_full_graph_inference_and_kmeans_seed():
+    cfg = Config(conv_type="GCN", kmeans_init=True, **BASE)
+    tr = build(cfg)
+    tr.seed_kmeans()
+    tr.run_init_sweep()
+    tr.train_epoch(1)
+    out = tr.full_graph_predict()
+    assert out.shape == (tr.graph.num_nodes, 4)
+    assert np.isfinite(out).all()

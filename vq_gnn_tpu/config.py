@@ -103,6 +103,11 @@ class Config:
     matmul_precision: str = "highest"
     # Device mesh: (data,) axis size; 0 = use all local devices.
     mesh_data: int = 0
+    # Fixed pad sizes (0 = adaptive high-water buckets). Multi-host SPMD
+    # requires identical static shapes on every process, so set these there.
+    fixed_B_pad: int = 0
+    fixed_Bp_pad: int = 0
+    fixed_E_pad: int = 0
 
     def __post_init__(self):
         if self.conv_type not in ("GCN", "SAGE", "GAT"):

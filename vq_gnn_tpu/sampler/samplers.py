@@ -341,7 +341,10 @@ class BatchLoader:
         return out
 
     def _pad_sizes(self, B, Bp, E):
-        mn, me = self.cfg.pad_multiple_nodes, self.cfg.pad_multiple_edges
+        cfg = self.cfg
+        if cfg.fixed_B_pad:  # multi-host: identical static shapes everywhere
+            return cfg.fixed_B_pad, cfg.fixed_Bp_pad, cfg.fixed_E_pad
+        mn, me = cfg.pad_multiple_nodes, cfg.pad_multiple_edges
         self._B_bucket = max(self._B_bucket, round_up(B, mn))
         self._Bp_bucket = max(self._Bp_bucket, round_up(max(Bp, 1), mn))
         self._E_bucket = max(self._E_bucket, round_up(max(E, 1), me))

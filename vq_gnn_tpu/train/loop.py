@@ -199,6 +199,59 @@ class NodeTrainer:
             metric(outs, y, g.test_mask),
         )
 
+    # ---- exact full-graph inference (codebooks bypassed) ----
+    def full_graph_predict(self) -> np.ndarray:
+        """v1 ``LowRankGNN.inference`` (v1/models.py:486-504): one plain conv
+        stack over the whole normalized adjacency with the learned weights."""
+        from vq_gnn_tpu.nn.model import full_graph_inference
+        from vq_gnn_tpu.ops.spmm import make_edges
+
+        row, col, val = self.graph.coo()
+        edges = make_edges(row, col, val, self.graph.num_nodes)
+        out = full_graph_inference(
+            self.state.params,
+            self.state.bn_state,
+            self.ms,
+            jnp.asarray(self.graph.x),
+            edges,
+        )
+        return np.asarray(out)
+
+    # ---- optional MiniBatchKMeans codebook seeding (reference --kmeans-init,
+    # v1/models.py:147-159) ----
+    def seed_kmeans(self):
+        from vq_gnn_tpu.nn.vq import feature_kmeans_init
+        from vq_gnn_tpu.train.step import _branch_view
+
+        windows, raw = next(iter(self.test_loader))
+        batch = windows[0]
+        x = jnp.take(self.X_dev, batch.batch_idx, axis=0)
+        from vq_gnn_tpu.nn.model import model_forward
+
+        for l in range(self.ms.num_layers):
+            nb = self.ms.num_branches[l]
+            if l > 0:
+                x_l, _, _, _ = model_forward(
+                    self.state.params,
+                    self.state.vq_states,
+                    self.state.bn_state,
+                    self.ms,
+                    x,
+                    batch,
+                    num_layers_to_run=l,
+                    with_bn_act=False,
+                )
+            else:
+                x_l = x
+            B = int(batch.num_B)
+            Xb = np.asarray(_branch_view(x_l, nb, self.ms.num_D))[:, :B]
+            new_state = feature_kmeans_init(
+                self.state.vq_states[l], Xb, np.asarray(batch.batch_idx)[:B], self.ms.vq
+            )
+            vq = list(self.state.vq_states)
+            vq[l] = new_state
+            self.state = self.state.replace(vq_states=vq)
+
     # ---- inductive stochastic eval with per-split c tables ----
     def evaluate_split_stochastic(self, graph: HostGraph, batch_size: int):
         """v1-inductive-style eval on another graph: assignments recomputed
@@ -232,6 +285,8 @@ class NodeTrainer:
     # ---- full run (main_node.py v2:233-308) ----
     def fit(self, run: int = 0, verbose: bool = True):
         cfg = self.cfg
+        if cfg.kmeans_init:
+            self.seed_kmeans()
         self.run_init_sweep(verbose=verbose)
         if verbose:
             print("init done")

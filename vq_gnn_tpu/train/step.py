@@ -161,11 +161,16 @@ def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
         bad = [s.bad_init for s in new_vq]
         if ms.transformer_flag:
             bad += [s.bad_init for s in new_vq_tr]
+        # grad-norm telemetry (v1 main_node.py:100-114 records these)
+        grad_norm = jnp.sqrt(
+            sum(jnp.sum(g**2) for g in jax.tree.leaves(g_params))
+        )
         metrics = {
             "loss": loss,
             "loss_cls": loss_cls,
             "train_acc": acc,
             "info_backward": info_b,
+            "grad_norm": grad_norm,
             "bad_init": jnp.any(jnp.stack(bad)),
         }
         return (
