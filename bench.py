@@ -40,16 +40,19 @@ def main():
     from vq_gnn_tpu.train.state import init_train_state
     from vq_gnn_tpu.train.step import make_step_fns
 
+    formulation = os.environ.get("VQ_GNN_BENCH_FORM", "bbprime")
     cfg = Config(
         dataset="arxiv",
-        conv_type="GCN",
+        conv_type=os.environ.get("VQ_GNN_BENCH_CONV", "GCN"),
+        formulation=formulation,
         num_layers=3,
         hidden_channels=128,
         num_D=4,
-        num_M=256,
-        sampler_type="cluster",
+        num_M=256 if formulation == "bbprime" else 1024,
+        sampler_type="cluster" if formulation == "bbprime" else "cont",
+        walk_length=3,
         num_parts=80,
-        batch_size=40,
+        batch_size=40 if formulation == "bbprime" else 10000,
         vq_update_mode=os.environ.get("VQ_GNN_BENCH_MODE", "live"),
         warm_up_flag=True,
         skip=True,

@@ -45,3 +45,28 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     r1 = tr.evaluate()
     r2 = tr2.evaluate()
     np.testing.assert_allclose(r1, r2)
+
+
+def test_fit_ckpt_resume(tmp_path):
+    cfg = Config(
+        dataset="synthetic",
+        num_layers=2,
+        hidden_channels=16,
+        num_D=4,
+        num_M=8,
+        batch_size=128,
+        test_batch_size=256,
+        epochs=3,
+        pad_multiple_nodes=64,
+        pad_multiple_edges=512,
+    )
+    g, c = synthetic_sbm(num_nodes=300, num_features=16, seed=8)
+    g, c, _ = prepare(g, cfg, c)
+    tr = NodeTrainer(g, cfg, c)
+    tr.fit(ckpt_dir=str(tmp_path), ckpt_every=1, verbose=False)
+    # fresh trainer resumes past epoch 3 immediately (no epochs left)
+    tr2 = NodeTrainer(g, cfg, c)
+    tr2.fit(ckpt_dir=str(tmp_path), resume=True, verbose=False)
+    r1 = tr.evaluate()
+    r2 = tr2.evaluate()
+    np.testing.assert_allclose(r1, r2)

@@ -29,6 +29,11 @@ def save_checkpoint(path: str, state: Any, step: int | None = None) -> None:
     os.replace(tmp, path)
 
 
+def load_step(path: str) -> int:
+    with np.load(path) as z:
+        return int(z["__step__"]) if "__step__" in z else 0
+
+
 def restore_checkpoint(path: str, template: Any) -> Any:
     """Load into the structure of ``template`` (shapes/dtypes must match)."""
     with np.load(path) as z:

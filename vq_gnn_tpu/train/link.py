@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import Optional
 
 import numpy as np
 import jax
@@ -130,6 +130,7 @@ def make_link_step(ms: ModelStatic, cfg: Config):
         new_state = TrainState(
             params=new_params, vq_states=new_vq, bn_state=new_bn,
             opt_nu=new_nu, step=state.step + 1,
+            vq_states_tr=state.vq_states_tr,
         )
         return new_state, new_pred, new_pred_nu, metrics
 

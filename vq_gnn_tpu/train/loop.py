@@ -283,18 +283,45 @@ class NodeTrainer:
         return np.concatenate(outs, axis=0)
 
     # ---- full run (main_node.py v2:233-308) ----
-    def fit(self, run: int = 0, verbose: bool = True):
+    def fit(
+        self,
+        run: int = 0,
+        verbose: bool = True,
+        ckpt_dir: Optional[str] = None,
+        ckpt_every: int = 50,
+        resume: bool = False,
+    ):
         cfg = self.cfg
-        if cfg.kmeans_init:
-            self.seed_kmeans()
-        self.run_init_sweep(verbose=verbose)
-        if verbose:
-            print("init done")
-        for epoch in range(1, cfg.epochs + 1):
+        from vq_gnn_tpu.train.checkpoint import (
+            load_step,
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        ckpt_path = None
+        start_epoch = 1
+        if ckpt_dir:
+            import os
+
+            ckpt_path = os.path.join(ckpt_dir, f"run{run}.npz")
+            if resume and os.path.exists(ckpt_path):
+                self.state = restore_checkpoint(ckpt_path, self.state)
+                start_epoch = load_step(ckpt_path) + 1  # stored epoch number
+                if verbose:
+                    print(f"resumed from {ckpt_path} at epoch {start_epoch}")
+        if start_epoch == 1:
+            if cfg.kmeans_init:
+                self.seed_kmeans()
+            self.run_init_sweep(verbose=verbose)
+            if verbose:
+                print("init done")
+        for epoch in range(start_epoch, cfg.epochs + 1):
             t0 = time.time()
             loss, loss_cls = self.train_epoch(epoch)
             result = self.evaluate()
             self.logger.add_result(run, result)
+            if ckpt_path and epoch % ckpt_every == 0:
+                save_checkpoint(ckpt_path, self.state, step=epoch)
             if verbose and epoch % cfg.log_steps == 0:
                 tr, va, te = result
                 print(

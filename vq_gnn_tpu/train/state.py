@@ -2,13 +2,12 @@
 
 from __future__ import annotations
 
-from typing import Any, List
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
-from vq_gnn_tpu.config import Config
 from vq_gnn_tpu.nn.model import ModelStatic, init_bn_state, init_params
 from vq_gnn_tpu.nn.vq import init_vq_state
 from vq_gnn_tpu.train.optim import init_rmsprop

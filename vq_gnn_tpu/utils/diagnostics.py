@@ -16,7 +16,7 @@ from __future__ import annotations
 from typing import Dict
 
 import numpy as np
-import jax.numpy as jnp
+
 
 from vq_gnn_tpu.nn.vq import VQParams, VQState
 

@@ -24,6 +24,8 @@ class Logger:
 
     def statistics(self, run=None):
         if run is not None:
+            if not self.results[run]:
+                return {}
             r = 100 * np.asarray(self.results[run])
             best = int(np.argmax(r[:, 1]))
             return {
@@ -41,6 +43,8 @@ class Logger:
             best_results.append(
                 (r[:, 0].max(), r[:, 1].max(), r[best, 0], r[best, 2])
             )
+        if not best_results:
+            return {}
         b = np.asarray(best_results)
         def ms(col):
             return float(b[:, col].mean()), float(b[:, col].std(ddof=1)) if len(b) > 1 else 0.0
@@ -54,6 +58,9 @@ class Logger:
     def print_statistics(self, run=None):
         if run is not None:
             s = self.statistics(run)
+            if not s:
+                print(f"Run {run + 1:02d}: no results")
+                return
             print(f"Run {run + 1:02d}:")
             print(f"Highest Train: {s['highest_train']:.2f}")
             print(f"Highest Valid: {s['highest_valid']:.2f}")
@@ -61,6 +68,9 @@ class Logger:
             print(f"   Final Test: {s['final_test']:.2f}")
         else:
             s = self.statistics()
+            if not s:
+                print("All runs: no results")
+                return
             print("All runs:")
             for name, key in [
                 ("Highest Train", "highest_train"),
