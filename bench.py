@@ -124,6 +124,15 @@ def main():
     eps = E_batch * steps / dt
     log(f"{steps} steps in {dt:.3f}s -> {eps/1e6:.2f}M edges/s/chip")
 
+    # forward-only decomposition (stderr only)
+    out = fns.eval_step(state, X_dev, batch)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(steps):
+        out = fns.eval_step(state, X_dev, batch)
+    jax.block_until_ready(out)
+    log(f"eval fwd: {(time.time() - t0) / steps * 1000:.1f} ms")
+
     anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_anchor.json")
     vs = 1.0
     if os.path.exists(anchor_path):

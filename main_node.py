@@ -75,6 +75,7 @@ def parse_args():
                    choices=["ell", "coo"])
     p.add_argument("--matmul-precision", type=str, default="highest",
                    choices=["highest", "default"])
+    p.add_argument("--vq-diagnostics", action="store_true")
     p.add_argument("--ckpt-dir", type=str, default=None)
     p.add_argument("--ckpt-every", type=int, default=50)
     p.add_argument("--resume", action="store_true")
@@ -131,6 +132,7 @@ def main():
     print(cfg)
     graph, num_classes, cluster_indices = get_data(cfg)
     trainer = NodeTrainer(graph, cfg, num_classes, cluster_indices=cluster_indices)
+    trainer.vq_diagnostics = a.vq_diagnostics
     for run in range(cfg.runs):
         trainer.fit(
             run=run, ckpt_dir=a.ckpt_dir, ckpt_every=a.ckpt_every, resume=a.resume

@@ -76,3 +76,38 @@ def test_vq_update_pallas_backend_matches_xla():
         rtol=1e-4,
         atol=1e-4,
     )
+
+
+def test_scan_backend_matches_xla():
+    import dataclasses
+
+    from vq_gnn_tpu.nn.vq import VQParams, init_vq_state, vq_update
+    from vq_gnn_tpu.ops.vq_ops import (
+        assign_stats_scan,
+        assignment_stats,
+        nearest_codeword,
+    )
+
+    rng = np.random.RandomState(11)
+    xn = jnp.asarray(rng.randn(1000, 8).astype(np.float32))
+    emb = jnp.asarray(rng.randn(16, 8).astype(np.float32))
+    valid = jnp.asarray(np.concatenate([np.ones(950, bool), np.zeros(50, bool)]))
+    i1, c1, s1 = assign_stats_scan(xn, emb, valid, chunk=256)
+    i2 = nearest_codeword(xn, emb)
+    c2, s2 = assignment_stats(xn, i2, 16, valid)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5)
+
+    p_xla = VQParams(num_M=8, num_D=4, warm_up_flag=True, backend="xla")
+    p_scan = dataclasses.replace(p_xla, backend="scan")
+    s0 = init_vq_state(jax.random.PRNGKey(5), 2, 100, p_xla)
+    X = jnp.asarray(rng.randn(2, 64, 4).astype(np.float32))
+    G = jnp.asarray(rng.randn(2, 64, 4).astype(np.float32))
+    idxs = jnp.asarray(np.arange(64))
+    sa, ia = vq_update(s0, X, G, idxs, p_xla)
+    sb, ib = vq_update(s0, X, G, idxs, p_scan)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    np.testing.assert_allclose(
+        np.asarray(sa.embedding), np.asarray(sb.embedding), rtol=1e-5, atol=1e-5
+    )

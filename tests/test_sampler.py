@@ -140,3 +140,35 @@ def test_native_ell_build_matches_numpy():
     np.testing.assert_array_equal(nc[:S], pc[:S])
     np.testing.assert_allclose(nv[:S], pv[:S])
     assert (nr[S:] == n).all() and (nv[S:] == 0).all()
+
+
+def test_prefetcher_propagates_errors(small_graph):
+    g, c, cfg = small_graph
+    loader = BatchLoader(g, cfg, batch_size=100, train_flag=False, shuffle=False)
+
+    def boom(idx):
+        raise RuntimeError("producer boom")
+
+    loader._build = boom
+    with pytest.raises(RuntimeError, match="producer boom"):
+        for _ in loader:
+            pass
+
+
+def test_host_pipeline_scale():
+    """Host-side batch build at 500k nodes stays correct (and fast via C++)."""
+    import time
+
+    cfg = Config(dataset="synthetic", sampler_type="node", num_D=4,
+                 pad_multiple_nodes=4096, pad_multiple_edges=16384)
+    g, c = synthetic_sbm(num_nodes=500_000, num_features=8, avg_degree=8, seed=2)
+    g, c, _ = prepare(g, cfg, c)
+    loader = BatchLoader(g, cfg, batch_size=50_000, train_flag=True, shuffle=False)
+    loader.prefetch = False
+    t0 = time.time()
+    b = loader._build(np.arange(50_000))
+    dt = time.time() - t0
+    assert int(b.num_B) == 50_000
+    assert b.edges.ell_row is not None
+    # C++ path keeps this comfortably in seconds on 2 vCPUs
+    assert dt < 30, dt

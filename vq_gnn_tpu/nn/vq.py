@@ -137,6 +137,10 @@ def _assign_and_stats(xn, emb, valid, p: VQParams):
         return fused_assign_branches(
             xn, emb, valid, interpret=jax.default_backend() == "cpu"
         )
+    if p.backend == "scan":
+        from vq_gnn_tpu.ops.vq_ops import assign_stats_scan
+
+        return jax.vmap(lambda x, e: assign_stats_scan(x, e, valid))(xn, emb)
 
     def one(x, e):
         idx = nearest_codeword(x, e)

@@ -52,6 +52,57 @@ def assignment_stats(xn: jnp.ndarray, idx: jnp.ndarray, num_M: int, valid=None):
     return counts, sums
 
 
+def assign_stats_scan(
+    xn: jnp.ndarray, emb: jnp.ndarray, valid=None, chunk: int = 8192
+):
+    """Fused assignment + stats via lax.scan over row chunks.
+
+    Avoids materializing the [B, M] distance and one-hot matrices in HBM
+    (the XLA lowering's main cost at B~85k): each iteration's [chunk, M]
+    tiles live only inside the loop body, and (counts, sums) accumulate in
+    the carry.  Pure XLA — the same fusion the Pallas kernel targets.
+    """
+    B, K = xn.shape
+    M = emb.shape[0]
+    n_chunks = -(-B // chunk)
+    B_pad = n_chunks * chunk
+    if valid is None:
+        valid = jnp.ones(B, dtype=bool)
+    if B_pad != B:
+        xn = jnp.pad(xn, ((0, B_pad - B), (0, 0)))
+        valid = jnp.pad(valid, (0, B_pad - B))
+    xc = xn.reshape(n_chunks, chunk, K)
+    vc = valid.reshape(n_chunks, chunk).astype(xn.dtype)
+    e2 = jnp.sum(emb * emb, axis=1)[None, :]
+    col = jnp.arange(M, dtype=jnp.int32)[None, :]
+
+    def body(carry, inp):
+        counts, sums = carry
+        x, v = inp
+        # ||x||^2 is per-row constant: argmin unaffected, skip it
+        d = e2 - 2.0 * jnp.dot(
+            x, emb.T, preferred_element_type=jnp.float32, precision=_EXACT
+        )
+        idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+        onehot = (idx[:, None] == col).astype(x.dtype) * v[:, None]
+        counts = counts + jnp.sum(onehot, axis=0)
+        sums = sums + jax.lax.dot_general(
+            onehot,
+            x,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_EXACT,
+        )
+        return (counts, sums), idx
+
+    (counts, sums), idxs = jax.lax.scan(
+        body,
+        (jnp.zeros(M, jnp.float32), jnp.zeros((M, K), jnp.float32)),
+        (xc, vc),
+    )
+    return idxs.reshape(B_pad)[:B], counts, sums
+
+
 def masked_mean_var(x: jnp.ndarray, valid=None, ddof: int = 0):
     """Column mean/variance over valid rows. Matches torch semantics:
     ddof=0 (biased) for BatchNorm normalization, ddof=1 (unbiased) for

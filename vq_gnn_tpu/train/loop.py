@@ -330,4 +330,21 @@ class NodeTrainer:
                     f"Valid: {100 * va:.2f}%, Test: {100 * te:.2f}% "
                     f"[{time.time() - t0:.1f}s]"
                 )
+                if getattr(self, "vq_diagnostics", False):
+                    self.print_vq_diagnostics(epoch)
         return self.logger.statistics(run)
+
+    def print_vq_diagnostics(self, epoch: int):
+        """Per-layer VQ health (the reference's exp_log catalogue,
+        utils/logger.py:89-232)."""
+        from vq_gnn_tpu.utils.diagnostics import codebook_stats
+
+        for l, s in enumerate(self.state.vq_states):
+            st = codebook_stats(s, self.ms.vq)
+            print(
+                f"  [vq L{l}] eff_codewords="
+                f"{np.mean(st['effective_codewords']):.1f}/{self.ms.vq.num_M} "
+                f"size_min={st['cluster_size_min'].min():.3g} "
+                f"feat_std={np.mean(st['feat_std_per_dim']):.3f} "
+                f"grad_std={np.mean(st['grad_std_per_dim']):.3f}"
+            )
