@@ -77,9 +77,8 @@ def load_link_data(cfg: Config):
             test_pos=e[-1000:], test_neg=rand(5000),
         )
     # reference quirk: collab is NOT symmetrized (main_link.py v2:283-284
-    # symmetrizes citation2 only); prepare() symmetrizes, matching citation2 —
-    # for collab the raw edge list already carries both directions.
-    g, _, _ = prepare(g, cfg, 0)
+    # symmetrizes citation2 only)
+    g, _, _ = prepare(g, cfg, 0, symmetrize_adj=cfg.dataset != "collab")
     return g, split
 
 

@@ -118,11 +118,13 @@ def synthetic_sbm(
 
 
 def prepare(
-    graph: HostGraph, cfg: Config, num_classes: int
+    graph: HostGraph, cfg: Config, num_classes: int, symmetrize_adj: bool = True
 ) -> Tuple[HostGraph, int, Optional[list]]:
     """Reference get_data pipeline: symmetrize, cluster-permute, normalize,
-    pad features (``misc.py:183-224``)."""
-    graph.adj = symmetrize(graph.adj)
+    pad features (``misc.py:183-224``).  ogbl-collab skips symmetrization
+    (main_link.py v2:283-284 symmetrizes citation2 only)."""
+    if symmetrize_adj:
+        graph.adj = symmetrize(graph.adj)
 
     cluster_indices = None
     if cfg.sampler_type == "cluster":
