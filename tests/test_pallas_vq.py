@@ -111,3 +111,16 @@ def test_scan_backend_matches_xla():
     np.testing.assert_allclose(
         np.asarray(sa.embedding), np.asarray(sb.embedding), rtol=1e-5, atol=1e-5
     )
+
+
+def test_xla_fast_assign_agreement():
+    """bf16 distance streaming: assignments agree with f32 except near-ties."""
+    from vq_gnn_tpu.ops.vq_ops import nearest_codeword
+
+    rng = np.random.RandomState(13)
+    xn = jnp.asarray(rng.randn(5000, 8).astype(np.float32))
+    emb = jnp.asarray(rng.randn(256, 8).astype(np.float32))
+    i_exact = nearest_codeword(xn, emb)
+    i_fast = nearest_codeword(xn, emb, fast=True)
+    agree = float(np.mean(np.asarray(i_exact) == np.asarray(i_fast)))
+    assert agree > 0.98, agree

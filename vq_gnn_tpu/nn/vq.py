@@ -142,8 +142,10 @@ def _assign_and_stats(xn, emb, valid, p: VQParams):
 
         return jax.vmap(lambda x, e: assign_stats_scan(x, e, valid))(xn, emb)
 
+    fast = p.backend == "xla_fast"  # bf16 distance streaming
+
     def one(x, e):
-        idx = nearest_codeword(x, e)
+        idx = nearest_codeword(x, e, fast=fast)
         counts, sums = assignment_stats(x, idx, p.num_M, valid)
         return idx, counts, sums
 

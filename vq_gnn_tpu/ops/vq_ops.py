@@ -18,11 +18,21 @@ import jax.numpy as jnp
 _EXACT = jax.lax.Precision.HIGHEST
 
 
-def nearest_codeword(xn: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+def nearest_codeword(
+    xn: jnp.ndarray, emb: jnp.ndarray, fast: bool = False
+) -> jnp.ndarray:
     """argmin_m ||xn_b - emb_m||^2 via the expanded-square distance GEMM.
 
-    xn: [B, K], emb: [M, K] -> [B] int32.
+    xn: [B, K], emb: [M, K] -> [B] int32.  ``fast`` streams the [B, M]
+    distance matrix in bf16 (halves the argmin's HBM traffic — profiled at
+    ~22ms/step f32 at B=85k); near-tie assignments may flip, so parity modes
+    keep f32.
     """
+    if fast:
+        d = jnp.sum(emb**2, axis=1)[None, :].astype(jnp.bfloat16) - 2.0 * jnp.dot(
+            xn, emb.T, preferred_element_type=jnp.bfloat16
+        )
+        return jnp.argmin(d, axis=1).astype(jnp.int32)
     d = (
         jnp.sum(xn**2, axis=1, keepdims=True)
         + jnp.sum(emb**2, axis=1)[None, :]
