@@ -123,6 +123,17 @@ def main():
     dt = time.time() - t0
     eps = E_batch * steps / dt
     log(f"{steps} steps in {dt:.3f}s -> {eps/1e6:.2f}M edges/s/chip")
+    # device memory footprint (the reference prints cuda.max_memory_allocated,
+    # main_node.py v2:263)
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            log(
+                f"device mem: in_use={stats.get('bytes_in_use', 0)/1e6:.0f}MB "
+                f"peak={stats.get('peak_bytes_in_use', 0)/1e6:.0f}MB"
+            )
+    except Exception:
+        pass
 
     # forward-only decomposition (stderr only)
     out = fns.eval_step(state, X_dev, batch)

@@ -76,6 +76,22 @@ def convert_link(name: str, root: str):
             test_pos=se["test"]["edge"].numpy(),
             test_neg=se["test"]["edge_neg"].numpy(),
         )
+    elif name == "citation2":
+        import torch
+
+        # eval_train = fixed random 86596-edge subset (main_link.py v2:336-343)
+        torch.manual_seed(12345)
+        idx = torch.randperm(se["train"]["source_node"].numel())[:86596]
+        pair = lambda s, t: np.stack([s.numpy(), t.numpy()], axis=1)
+        out.update(
+            train_pos=pair(
+                se["train"]["source_node"][idx], se["train"]["target_node"][idx]
+            ),
+            valid_pos=pair(se["valid"]["source_node"], se["valid"]["target_node"]),
+            valid_neg=se["valid"]["target_node_neg"].numpy(),
+            test_pos=pair(se["test"]["source_node"], se["test"]["target_node"]),
+            test_neg=se["test"]["target_node_neg"].numpy(),
+        )
     return out
 
 
