@@ -60,7 +60,7 @@ def main():
         vq_backend=os.environ.get("VQ_GNN_BENCH_VQ_BACKEND", "xla_fast"),
         spmm_backend=os.environ.get("VQ_GNN_BENCH_SPMM", "ell"),
         compute_dtype=os.environ.get("VQ_GNN_BENCH_DTYPE", "float32"),
-        ell_K=int(os.environ.get("VQ_GNN_BENCH_K", "16")),
+        ell_K=int(os.environ.get("VQ_GNN_BENCH_K", "8")),
     )
 
     path = os.path.join(cfg.data_root, "arxiv.npz")

@@ -90,8 +90,9 @@ class Config:
     #   'ell' — slot-ELL gather layout with transpose-ELL backward (fastest)
     #   'coo' — row-sorted COO gather+segment_sum
     spmm_backend: str = "ell"
-    # Edges per ELL slot (K). 16 balances padding waste vs scatter reduction.
-    ell_K: int = 16
+    # Edges per ELL slot (K). Swept on v5e at arxiv scale: K=8 beats 4 and 16
+    # (13.17M vs 12.20M/12.64M edges/s) — padding waste vs slot-count balance.
+    ell_K: int = 8
     # Pallas fused VQ assignment kernel on TPU ('xla' fallback elsewhere).
     vq_backend: str = "xla"
     # Compute dtype for the aggregate/matmul path. f32 keeps reference parity;
