@@ -46,6 +46,11 @@ class NodeTrainer:
         self.val_graph, self.test_graph = val_graph, test_graph
         self.inductive = val_graph is not None
         jax.config.update("jax_default_matmul_precision", cfg.matmul_precision)
+        try:  # persistent compile cache (tunnel-remote compiles are slow)
+            jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
         self.graph = graph
         self.cfg = cfg
         self.multilabel = graph.y is not None and graph.y.ndim > 1 and graph.y.shape[1] > 1
