@@ -136,3 +136,12 @@ def test_full_graph_inference_and_kmeans_seed():
     out = tr.full_graph_predict()
     assert out.shape == (tr.graph.num_nodes, 4)
     assert np.isfinite(out).all()
+
+
+def test_single_layer_model():
+    """Reference LowRankGNN1Layer (v1/models.py:539-559) == num_layers=1."""
+    cfg = Config(conv_type="GCN", **{**BASE, "num_layers": 1})
+    tr = build(cfg)
+    tr.run_init_sweep()
+    loss, _ = tr.train_epoch(1)
+    assert np.isfinite(loss)
