@@ -350,10 +350,15 @@ class BatchLoader:
         self._E_bucket = max(self._E_bucket, round_up(max(E, 1), me))
         return self._B_bucket, self._Bp_bucket, self._E_bucket
 
-    def _slot_pad(self, er, ec, K, dim, attr):
+    def _slot_pad(self, er, K, dim, attr):
+        ms = max(self.cfg.pad_multiple_edges // K, 64)
+        if self.cfg.fixed_B_pad:
+            # multi-host: deterministic upper bound so every process agrees
+            # (E/K full slots + at most one partial slot per row)
+            bound = self.cfg.fixed_E_pad // K + self.cfg.fixed_B_pad + self.cfg.fixed_Bp_pad + 1
+            return round_up(bound, ms)
         deg = np.bincount(er, minlength=dim)
         S = int(((deg + K - 1) // K).sum())
-        ms = max(self.cfg.pad_multiple_edges // K, 64)
         bucket = max(getattr(self, attr), round_up(max(S, 1), ms))
         setattr(self, attr, bucket)
         return bucket
@@ -383,8 +388,8 @@ class BatchLoader:
         if self.cfg.spmm_backend == "ell":
             ell_K = self.cfg.ell_K
             dim = len(node_idx) + len(fo_ids) + 1
-            S_pad = self._slot_pad(er, ec, ell_K, dim, "_S_bucket")
-            St_pad = self._slot_pad(ec, er, ell_K, dim, "_St_bucket")
+            S_pad = self._slot_pad(er, ell_K, dim, "_S_bucket")
+            St_pad = self._slot_pad(ec, ell_K, dim, "_St_bucket")
         L_pad = 0
         if self.with_link_edges:
             n_link = int(((er < len(node_idx)) & (ec < len(node_idx))).sum())
