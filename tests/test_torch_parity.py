@@ -54,22 +54,23 @@ def test_activations_match_torch():
     )
 
 
-def test_alpha_dropout_statistics():
-    """AlphaDropout must preserve mean~0/var~1 inputs (the SELU property),
-    matching torch's affine constants."""
-    rng = jax.random.PRNGKey(0)
-    x = jax.random.normal(jax.random.PRNGKey(1), (200_000,))
-    y = alpha_dropout(rng, x, 0.3, training=True)
+def test_alpha_dropout_constants():
+    """AlphaDropout's affine constants must match torch exactly: feed a
+    constant input — outputs take exactly two values, a*c+b (kept) and
+    a*alpha'+b (dropped), deterministic up to RNG choice of which."""
+    p = 0.3
+    c = 1.7
+    x = jnp.full((20_000,), c)
+    y = np.asarray(alpha_dropout(jax.random.PRNGKey(0), x, p, training=True))
     ty = torch.nn.functional.alpha_dropout(
-        torch.as_tensor(np.asarray(x)), 0.3, training=True
+        torch.full((20_000,), c), p, training=True
+    ).numpy()
+    np.testing.assert_allclose(
+        np.unique(y.round(5)), np.unique(ty.round(5)), rtol=1e-4
     )
-    # identical distributional behavior (different RNG): compare moments
-    assert abs(float(jnp.mean(y)) - float(ty.mean())) < 2e-2
-    assert abs(float(jnp.var(y)) - float(ty.var())) < 4e-2
-    # dropped entries take the exact torch constant a*alpha' + b
-    dropped = np.asarray(y)[np.asarray(y) == np.asarray(y).min()]
-    tdropped = ty.numpy()[ty.numpy() == ty.numpy().min()]
-    np.testing.assert_allclose(dropped[0], tdropped[0], rtol=1e-5)
+    # drop rate matches p
+    drop_frac = float((y == y.min()).mean())
+    assert abs(drop_frac - p) < 0.02
 
 
 def test_linear_init_bounds():
