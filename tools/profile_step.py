@@ -29,8 +29,9 @@ def main():
     from vq_gnn_tpu.train.state import init_train_state
     from vq_gnn_tpu.train.step import make_step_fns
 
+    import os
     cfg = Config(
-        dataset="arxiv", conv_type="GCN", num_layers=3, hidden_channels=128,
+        dataset="arxiv", conv_type=os.environ.get("VQ_GNN_PROF_CONV", "GCN"), num_layers=3, hidden_channels=128,
         num_D=4, num_M=256, sampler_type="cluster", num_parts=80, batch_size=40,
         skip=True, matmul_precision="default",
     )

@@ -263,7 +263,8 @@ def layer_forward(
     grad_fo = jax.lax.stop_gradient(grad_fo * fo_mask)
 
     x_input = jnp.concatenate([x, x_fo], axis=0)  # [dim_pad, C_in]
-    if gat:
+    gat_ell = gat and batch.edges.ell_row is not None
+    if gat and not gat_ell:
         ones = jnp.ones((x_input.shape[0], 1), x_input.dtype)
         x_input = jnp.concatenate([x_input, ones], axis=1)
     cd = jnp.dtype(ms.compute_dtype)
@@ -272,12 +273,20 @@ def layer_forward(
 
     # conv: plain (or attention-weighted) SpMM over the padded local adjacency
     if gat:
-        al, ar = attention_logits(x_input, lp["att_l"], lp["att_r"])
+        if gat_ell:
+            # logits of the (C+1)-wide reference input == C-wide matmul plus
+            # the ones-column bias (att[-1]); keeping the feature matrix at C
+            # columns avoids lane-padding every gather to the next 128
+            C = x_input.shape[1]
+            al = x_input @ lp["att_l"][:C].astype(cd) + lp["att_l"][C]
+            ar = x_input @ lp["att_r"][:C].astype(cd) + lp["att_r"][C]
+        else:
+            al, ar = attention_logits(x_input, lp["att_l"], lp["att_r"])
         valid_all = jnp.concatenate([batch.valid_B, batch.valid_fo])
         scale = explosion_scale(al, ar, valid_all)  # Trick 1 (convs.py v2:209)
         al, ar = al / scale, ar / scale
         e = batch.edges
-        if e.ell_row is not None:
+        if gat_ell:
             # attention in slot-ELL layout, for the forward values AND the
             # transposed copy the custom backward streams through (the
             # forward output depends only on ell_val; t_ell_val mirrors it)
@@ -287,7 +296,12 @@ def layer_forward(
             ev_t = gat_edge_values(
                 e.t_ell_col, e.t_ell_row[:, None], e.t_ell_val, al, ar
             )
-            x_out = spmm(e.replace(ell_val=ev, t_ell_val=ev_t), x_input)
+            from vq_gnn_tpu.ops.spmm import ell_rowsum
+
+            e_att = e.replace(ell_val=ev, t_ell_val=ev_t)
+            x_out = jnp.concatenate(
+                [spmm(e_att, x_input), ell_rowsum(e_att, ev)], axis=1
+            )
         else:
             ev = gat_edge_values(e.row, e.col, e.val, al, ar)
             x_out = spmm(e.replace(val=ev), x_input)

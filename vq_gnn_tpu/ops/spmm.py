@@ -150,6 +150,19 @@ def _spmm_bwd(res, g):
 spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 
+def ell_rowsum(edges: Edges, ell_val: jnp.ndarray) -> jnp.ndarray:
+    """Per-row sum of edge values over the ELL layout -> [num_rows, 1].
+
+    Used for the GAT ones-column normalizer: summing the attention-weighted
+    values directly avoids appending a ones column to the feature matrix
+    (129 columns would lane-pad every gather/einsum to 256)."""
+    part = jnp.sum(ell_val, axis=1, keepdims=True)  # [S, 1]
+    out = jax.ops.segment_sum(
+        part, edges.ell_row, num_segments=edges.num_rows + 1, indices_are_sorted=True
+    )
+    return out[: edges.num_rows]
+
+
 def build_ell_host(row, col, val, num_rows: int, K: int, S_pad: int = 0):
     """Host-side slot-ELL construction from row-sorted COO (numpy).
 
