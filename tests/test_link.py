@@ -58,6 +58,53 @@ def test_link_trainer_learns():
     assert test_h > 0.3, test_h
 
 
+def test_citation2_mrr_end_to_end():
+    """citation2 protocol e2e (``main_link.py v2:124-169, 336-343``): per-source
+    negative lists, eval_train row-aligned with the VALID negatives (the
+    reference's eval_train subset is sized to len(valid) for exactly this)."""
+    cfg = Config(
+        dataset="citation2",
+        conv_type="GCN",
+        num_layers=2,
+        hidden_channels=16,
+        num_D=4,
+        num_M=8,
+        batch_size=200,
+        test_batch_size=400,
+        skip=True,
+        pad_multiple_nodes=64,
+        pad_multiple_edges=512,
+        lr=0.003,
+    )
+    rng = np.random.RandomState(4)
+    g, c = synthetic_sbm(num_nodes=400, num_features=16, seed=5)
+    g, c, _ = prepare(g, cfg, c)
+    coo = g.adj.tocoo()
+    edges = np.stack([coo.row, coo.col], axis=1)
+    edges = edges[edges[:, 0] != edges[:, 1]][rng.permutation(coo.nnz // 2)]
+    n_valid, n_test, k_neg = 40, 40, 20
+    split = SplitEdges(
+        # eval_train must be the same length as valid (reuses valid_neg rows)
+        train_pos=edges[: n_valid],
+        valid_pos=edges[n_valid : 2 * n_valid],
+        valid_neg=rng.randint(0, g.num_nodes, (n_valid, k_neg)),
+        test_pos=edges[2 * n_valid : 2 * n_valid + n_test],
+        test_neg=rng.randint(0, g.num_nodes, (n_test, k_neg)),
+        neg_per_source=True,
+    )
+    tr = LinkTrainer(g, cfg, split)
+    tr.run_init_sweep()
+    for epoch in range(1, 6):
+        loss = tr.train_epoch(epoch)
+    assert np.isfinite(loss)
+    train_m, valid_m, test_m = tr.evaluate_mrr()
+    for m in (train_m, valid_m, test_m):
+        assert 0.0 < m <= 1.0
+    # real edges should outrank the k_neg random negatives on average:
+    # random ranking gives E[1/rank] ~ H(k+1)/(k+1) ~ 0.17 at k=20
+    assert test_m > 0.3, test_m
+
+
 def test_hits_and_mrr_metrics():
     pos = np.array([0.9, 0.8, 0.1])
     neg = np.array([0.5, 0.4, 0.3, 0.2])
