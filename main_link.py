@@ -43,6 +43,8 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--vq-update-mode", type=str, default="live",
                    choices=["live", "reference"])
+    p.add_argument("--vq-backend", type=str, default="xla",
+                   choices=["xla", "xla_fast", "scan", "pallas"])
     return p.parse_args()
 
 
@@ -114,6 +116,7 @@ def main():
         log_steps=a.log_steps,
         seed=a.seed,
         vq_update_mode=a.vq_update_mode,
+        vq_backend=a.vq_backend,
     )
     print(cfg)
     g, split = load_link_data(cfg)

@@ -73,6 +73,10 @@ def parse_args():
                    choices=["live", "reference"])
     p.add_argument("--spmm-backend", type=str, default="ell",
                    choices=["ell", "coo"])
+    p.add_argument("--vq-backend", type=str, default="xla",
+                   choices=["xla", "xla_fast", "scan", "pallas"],
+                   help="xla = exact-f32 assignment; xla_fast = bf16-streamed "
+                        "distance + stats (fastest on TPU)")
     p.add_argument("--matmul-precision", type=str, default="highest",
                    choices=["highest", "default"])
     p.add_argument("--vq-diagnostics", action="store_true")
@@ -127,6 +131,7 @@ def main():
         formulation=a.formulation,
         vq_update_mode=a.vq_update_mode,
         spmm_backend=a.spmm_backend,
+        vq_backend=a.vq_backend,
         matmul_precision=a.matmul_precision,
     )
     print(cfg)

@@ -124,3 +124,17 @@ def test_xla_fast_assign_agreement():
     i_fast = nearest_codeword(xn, emb, fast=True)
     agree = float(np.mean(np.asarray(i_exact) == np.asarray(i_fast)))
     assert agree > 0.98, agree
+
+
+def test_fast_stats_agreement():
+    """bf16-streamed one-hot stats: counts exact, sums within bf16 rounding."""
+    from vq_gnn_tpu.ops.vq_ops import assignment_stats
+
+    rng = np.random.RandomState(17)
+    xn = jnp.asarray(rng.randn(5000, 8).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 256, 5000).astype(np.int32))
+    valid = jnp.asarray(rng.rand(5000) > 0.1)
+    c0, s0 = assignment_stats(xn, idx, 256, valid)
+    c1, s1 = assignment_stats(xn, idx, 256, valid, fast=True)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=0.02, atol=0.05)

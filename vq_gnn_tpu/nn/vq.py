@@ -146,7 +146,7 @@ def _assign_and_stats(xn, emb, valid, p: VQParams):
 
     def one(x, e):
         idx = nearest_codeword(x, e, fast=fast)
-        counts, sums = assignment_stats(x, idx, p.num_M, valid)
+        counts, sums = assignment_stats(x, idx, p.num_M, valid, fast=fast)
         return idx, counts, sums
 
     return jax.vmap(one)(xn, emb)

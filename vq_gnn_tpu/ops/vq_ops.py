@@ -43,23 +43,35 @@ def nearest_codeword(
     return jnp.argmin(d, axis=1).astype(jnp.int32)
 
 
-def assignment_stats(xn: jnp.ndarray, idx: jnp.ndarray, num_M: int, valid=None):
+def assignment_stats(
+    xn: jnp.ndarray, idx: jnp.ndarray, num_M: int, valid=None, fast: bool = False
+):
     """Per-cluster (counts [M], sums [M, K]) via a one-hot GEMM (MXU).
 
     Measured on TPU v5e this beats the segment-sum formulation ~2x at
     B=85k/M=256 despite materializing the [B, M] one-hot: the MXU streams,
     scatters serialize.  Padded rows (``valid == False``) contribute nothing.
+
+    ``fast`` streams the one-hot (and the xn operand) in bf16: 0/1 and the
+    validity mask are exact in bf16 and accumulation stays f32, so the only
+    approximation is bf16 rounding of xn entries in the cluster sums
+    (~1e-3 relative), which the 0.01-per-step EMA smooths away.  Halves the
+    HBM round-trip of the [B, M] one-hot — the dominant cost at B~85k.
     """
+    stream = jnp.bfloat16 if fast else xn.dtype
     onehot = (idx[:, None] == jnp.arange(num_M, dtype=jnp.int32)[None, :]).astype(
-        xn.dtype
+        stream
     )
     if valid is not None:
-        onehot = onehot * valid.astype(xn.dtype)[:, None]
-    counts = jnp.sum(onehot, axis=0)
+        onehot = onehot * valid.astype(stream)[:, None]
+    counts = jnp.sum(onehot, axis=0, dtype=jnp.float32)
     sums = jnp.dot(
-        onehot.T, xn, preferred_element_type=jnp.float32, precision=_EXACT
+        onehot.T,
+        xn.astype(stream),
+        preferred_element_type=jnp.float32,
+        precision=None if fast else _EXACT,
     )
-    return counts, sums
+    return counts, sums.astype(jnp.float32)
 
 
 def assign_stats_scan(
