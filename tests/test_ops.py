@@ -87,14 +87,25 @@ def test_spmm_without_tperm():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5)
 
 
-def make_ell_edges(row, col, val, n, K=4):
-    from vq_gnn_tpu.ops.spmm import Edges, build_ell_host
+def make_ell_edges(row, col, val, n, K=4, S_pad=0, St_pad=0, with_maps=False):
+    from vq_gnn_tpu.ops.spmm import Edges, build_ell_host, ell_positions
 
     order = np.argsort(row, kind="stable")
     r, c, v = row[order], col[order], val[order]
-    er, ec, ev = build_ell_host(r, c, v, n, K)
+    er, ec, ev = build_ell_host(r, c, v, n, K, S_pad)
     to = np.argsort(c, kind="stable")
-    tr, tc, tv = build_ell_host(c[to], r[to], v[to], n, K)
+    tr, tc, tv = build_ell_host(c[to], r[to], v[to], n, K, St_pad)
+    t_from_f = f_from_t = None
+    if with_maps:
+        S_tot, St_tot = er.shape[0], tr.shape[0]
+        f_pos = ell_positions(r, K)
+        t_pos = ell_positions(c[to], K)
+        t_from_f = np.full(St_tot * K, S_tot * K, np.int32)
+        t_from_f[t_pos] = f_pos[to]
+        f_from_t = np.full(S_tot * K, St_tot * K, np.int32)
+        f_from_t[f_pos[to]] = t_pos
+        t_from_f = jnp.asarray(t_from_f.reshape(St_tot, K))
+        f_from_t = jnp.asarray(f_from_t.reshape(S_tot, K))
     return Edges(
         ell_row=jnp.asarray(er),
         ell_col=jnp.asarray(ec),
@@ -102,6 +113,8 @@ def make_ell_edges(row, col, val, n, K=4):
         t_ell_row=jnp.asarray(tr),
         t_ell_col=jnp.asarray(tc),
         t_ell_val=jnp.asarray(tv),
+        t_from_f=t_from_f,
+        f_from_t=f_from_t,
         num_rows=n,
     )
 
@@ -173,3 +186,45 @@ def test_gat_edge_values_dense():
     expected = np.exp(a) * val
     np.testing.assert_allclose(np.asarray(ev), expected, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(scale), s, rtol=1e-6)
+
+def test_gat_ell_values_fused_matches_unfused():
+    """Fused gat_ell_values == two gat_edge_values passes, fwd and grads."""
+    from vq_gnn_tpu.ops.gat import gat_ell_values
+    from vq_gnn_tpu.ops.spmm import ell_rowsum
+
+    rng = np.random.RandomState(11)
+    n, nnz, d = 30, 180, 8
+    row, col, val = random_coo(rng, n, n, nnz)
+    val = np.abs(val)
+    # padded slot counts exercise the fill sentinels of the position maps
+    e = make_ell_edges(row, col, val, n, K=4, S_pad=96, St_pad=104, with_maps=True)
+    al = jnp.asarray(rng.randn(n).astype(np.float32))
+    ar = jnp.asarray(rng.randn(n).astype(np.float32))
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+
+    ev_f, ev_t_f = gat_ell_values(e, al, ar)
+    ev_u = gat_edge_values(e.ell_row[:, None], e.ell_col, e.ell_val, al, ar)
+    ev_t_u = gat_edge_values(e.t_ell_col, e.t_ell_row[:, None], e.t_ell_val, al, ar)
+    # padding cells: unfused has exp(garbage)*0 = 0, fused fill = 0
+    np.testing.assert_allclose(np.asarray(ev_f), np.asarray(ev_u), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ev_t_f), np.asarray(ev_t_u), rtol=1e-6)
+
+    # gradient parity through the full GAT aggregation (spmm + rowsum), wrt
+    # the logits AND the features (dx flows through the transposed values)
+    def loss(fused):
+        def f(al_, ar_, x_):
+            if fused:
+                ev, ev_t = gat_ell_values(e, al_, ar_)
+            else:
+                ev = gat_edge_values(e.ell_row[:, None], e.ell_col, e.ell_val, al_, ar_)
+                ev_t = gat_edge_values(e.t_ell_col, e.t_ell_row[:, None], e.t_ell_val, al_, ar_)
+            ea = e.replace(ell_val=ev, t_ell_val=ev_t)
+            agg = spmm(ea, x_)
+            nrm = ell_rowsum(ea, ev)
+            return jnp.sum((agg / (nrm + 1e-16)) ** 2)
+        return f
+
+    g_f = jax.grad(loss(True), argnums=(0, 1, 2))(al, ar, x)
+    g_u = jax.grad(loss(False), argnums=(0, 1, 2))(al, ar, x)
+    for a, b in zip(g_f, g_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

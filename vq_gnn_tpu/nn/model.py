@@ -272,6 +272,7 @@ def layer_forward(
         x_input = x_input.astype(cd)
 
     # conv: plain (or attention-weighted) SpMM over the padded local adjacency
+    norm_col = None  # GAT ELL path keeps the ones-normalizer as its own [*, 1]
     if gat:
         if gat_ell:
             # logits of the (C+1)-wide reference input == C-wide matmul plus
@@ -287,21 +288,24 @@ def layer_forward(
         al, ar = al / scale, ar / scale
         e = batch.edges
         if gat_ell:
-            # attention in slot-ELL layout, for the forward values AND the
-            # transposed copy the custom backward streams through (the
-            # forward output depends only on ell_val; t_ell_val mirrors it)
-            ev = gat_edge_values(
-                e.ell_row[:, None], e.ell_col, e.ell_val, al, ar
-            )
-            ev_t = gat_edge_values(
-                e.t_ell_col, e.t_ell_row[:, None], e.t_ell_val, al, ar
-            )
+            # attention in slot-ELL layout; the transposed copy the custom
+            # backward streams through is a permutation gather of the forward
+            # values (gat_ell_values), not a second logit/exp pass
+            from vq_gnn_tpu.ops.gat import gat_ell_values
             from vq_gnn_tpu.ops.spmm import ell_rowsum
 
+            if e.t_from_f is not None:
+                ev, ev_t = gat_ell_values(e, al, ar)
+            else:  # batches built before the position maps existed
+                ev = gat_edge_values(
+                    e.ell_row[:, None], e.ell_col, e.ell_val, al, ar
+                )
+                ev_t = gat_edge_values(
+                    e.t_ell_col, e.t_ell_row[:, None], e.t_ell_val, al, ar
+                )
             e_att = e.replace(ell_val=ev, t_ell_val=ev_t)
-            x_out = jnp.concatenate(
-                [spmm(e_att, x_input), ell_rowsum(e_att, ev)], axis=1
-            )
+            x_out = spmm(e_att, x_input)  # [dim_pad, C]
+            norm_col = ell_rowsum(e_att, ev)  # [dim_pad, 1]
         else:
             ev = gat_edge_values(e.row, e.col, e.val, al, ar)
             x_out = spmm(e.replace(val=ev), x_input)
@@ -310,11 +314,22 @@ def layer_forward(
 
     # probe == the reference's per-branch grad hook point (models.py v2:181-185)
     if probe is not None:
-        x_out = x_out.at[:B_pad].add(probe)
+        if norm_col is not None:
+            # probe stays (C+1)-wide like the reference conv output; its last
+            # column lands on the separated ones-normalizer
+            Cc = x_out.shape[1]
+            x_out = x_out.at[:B_pad].add(probe[:, :Cc])
+            norm_col = norm_col.at[:B_pad].add(probe[:, Cc:])
+        else:
+            x_out = x_out.at[:B_pad].add(probe)
 
     if gat:  # ones-column normalization of batch rows (models.py v2:187-189)
-        x_out_B = x_out[:B_pad, :-1] / (x_out[:B_pad, -1:] + 1e-16)
-        x_out_fo = x_out[B_pad:, :-1]
+        if norm_col is not None:
+            x_out_B = x_out[:B_pad] / (norm_col[:B_pad] + 1e-16)
+            x_out_fo = x_out[B_pad:]
+        else:
+            x_out_B = x_out[:B_pad, :-1] / (x_out[:B_pad, -1:] + 1e-16)
+            x_out_fo = x_out[B_pad:, :-1]
     else:
         x_out_B = x_out[:B_pad]
         x_out_fo = x_out[B_pad:]

@@ -45,3 +45,68 @@ def gat_edge_values(row, col, adj_val, alpha_l, alpha_r, negative_slope=0.2):
     a = jnp.take(alpha_l, col, mode="clip") + jnp.take(alpha_r, row, mode="clip")
     a = jax.nn.leaky_relu(a, negative_slope)
     return jnp.exp(a) * adj_val
+
+
+NEGATIVE_SLOPE = 0.2  # PyG GATConv default, reference convs.py v2:131
+
+
+@jax.custom_vjp
+def gat_ell_values(edges, alpha_l, alpha_r):
+    """Slot-ELL attention edge values, forward AND transposed layout at once.
+
+    The transposed value of an edge equals its forward value, so ``ev_t`` is a
+    single permutation gather of ``ev`` via the host-precomputed position map
+    ``edges.t_from_f`` — no second logit-gather/exp pass.  The custom backward
+    reduces d_alpha with *sorted* segment-sums in both layouts (ell_row and
+    t_ell_row are ascending), avoiding the unsorted scatter-adds jax AD would
+    emit for the ``jnp.take``s.  Replaces the reference's per-edge
+    ``vq_softmax``+``edge_weight`` message (convs.py v2:252-266).
+    """
+    ev, ev_t, _ = _gat_ell_fwd_impl(edges, alpha_l, alpha_r)
+    return ev, ev_t
+
+
+def _gat_ell_fwd_impl(edges, alpha_l, alpha_r):
+    a = jnp.take(alpha_l, edges.ell_col, mode="clip") + jnp.take(
+        alpha_r, edges.ell_row, mode="clip"
+    )[:, None]
+    ev = jnp.exp(jax.nn.leaky_relu(a, NEGATIVE_SLOPE)) * edges.ell_val
+    St, K = edges.t_ell_col.shape
+    ev_t = jnp.take(
+        ev.reshape(-1), edges.t_from_f.reshape(-1), mode="fill", fill_value=0.0
+    ).reshape(St, K)
+    return ev, ev_t, a > 0
+
+
+def _gat_ell_vjp_fwd(edges, alpha_l, alpha_r):
+    ev, ev_t, pos = _gat_ell_fwd_impl(edges, alpha_l, alpha_r)
+    return (ev, ev_t), (edges, ev, pos)
+
+
+def _gat_ell_vjp_bwd(res, g):
+    edges, ev, pos = res
+    g_ev, g_ev_t = g
+    S, K = ev.shape
+    num_rows = edges.num_rows
+    # fold any cotangent arriving through the transposed copy back into the
+    # forward layout (zero in the spmm path, kept for generality)
+    g_total = g_ev + jnp.take(
+        g_ev_t.reshape(-1), edges.f_from_t.reshape(-1), mode="fill", fill_value=0.0
+    ).reshape(S, K)
+    # d ev / d a = ev * leaky_relu'(a); padding cells have ev = 0
+    d_a = g_total * ev * jnp.where(pos, 1.0, NEGATIVE_SLOPE)
+    d_ar = jax.ops.segment_sum(
+        jnp.sum(d_a, axis=1), edges.ell_row,
+        num_segments=num_rows + 1, indices_are_sorted=True,
+    )[:num_rows]
+    d_a_t = jnp.take(
+        d_a.reshape(-1), edges.t_from_f.reshape(-1), mode="fill", fill_value=0.0
+    ).reshape(edges.t_ell_col.shape)
+    d_al = jax.ops.segment_sum(
+        jnp.sum(d_a_t, axis=1), edges.t_ell_row,
+        num_segments=num_rows + 1, indices_are_sorted=True,
+    )[:num_rows]
+    return jax.tree.map(jnp.zeros_like, edges), d_al, d_ar
+
+
+gat_ell_values.defvjp(_gat_ell_vjp_fwd, _gat_ell_vjp_bwd)

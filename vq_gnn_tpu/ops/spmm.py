@@ -56,6 +56,14 @@ class Edges(struct.PyTreeNode):
     t_ell_row: Optional[jnp.ndarray] = None
     t_ell_col: Optional[jnp.ndarray] = None
     t_ell_val: Optional[jnp.ndarray] = None
+    # Position maps between the two ELL layouts (same underlying edge set):
+    # t_from_f[s, k] = flattened forward position of the edge at transposed
+    # cell (s, k), sentinel S_pad*K for padding (gather with mode='fill').
+    # f_from_t is the inverse. Lets GAT compute attention values ONCE and
+    # mirror them into the transposed layout with a single gather, and lets
+    # its backward reduce d_alpha with sorted segment-sums in both layouts.
+    t_from_f: Optional[jnp.ndarray] = None  # [St_pad, K] int32
+    f_from_t: Optional[jnp.ndarray] = None  # [S_pad, K] int32
     num_rows: int = struct.field(pytree_node=False, default=0)
 
 
@@ -202,6 +210,21 @@ def build_ell_host(row, col, val, num_rows: int, K: int, S_pad: int = 0):
     ell_col[sid, k] = col
     ell_val[sid, k] = val
     return ell_row, ell_col, ell_val
+
+
+def ell_positions(row_sorted, K: int):
+    """Flattened slot-ELL cell position (sid*K + k) of each edge, given the
+    row-sorted row array the ELL was built from (numpy, host-side)."""
+    import numpy as np
+
+    row = np.asarray(row_sorted, np.int64)
+    deg = np.bincount(row, minlength=int(row[-1]) + 1 if len(row) else 0)
+    starts = np.concatenate([[0], np.cumsum(deg)])
+    pos = np.arange(len(row)) - starts[row]
+    nslot = (deg + K - 1) // K
+    slot_base = np.concatenate([[0], np.cumsum(nslot)])
+    sid = slot_base[row] + pos // K
+    return (sid * K + pos % K).astype(np.int64)
 
 
 def make_edges(row, col, val, num_rows, with_transpose: bool = True) -> Edges:

@@ -122,6 +122,17 @@ def build_padded_batch(
         tr_, tc_, tv_ = build_ell_host(
             cs[t_order], rs[t_order], vs[t_order], dim_pad, ell_K, St_pad
         )
+        # position maps between the two layouts (same edges), so attention
+        # values computed in the forward layout can be mirrored into the
+        # transposed one with a single gather (sentinel -> mode='fill' zero)
+        from vq_gnn_tpu.ops.spmm import ell_positions
+
+        f_pos = ell_positions(rs, ell_K)
+        t_pos = ell_positions(cs[t_order], ell_K)
+        t_from_f = np.full(St_pad * ell_K, S_pad * ell_K, np.int32)
+        t_from_f[t_pos] = f_pos[t_order]
+        f_from_t = np.full(S_pad * ell_K, St_pad * ell_K, np.int32)
+        f_from_t[f_pos[t_order]] = t_pos
         edges = Edges(
             ell_row=np.asarray(er_),
             ell_col=np.asarray(ec_),
@@ -129,6 +140,8 @@ def build_padded_batch(
             t_ell_row=np.asarray(tr_),
             t_ell_col=np.asarray(tc_),
             t_ell_val=np.asarray(tv_),
+            t_from_f=np.asarray(t_from_f.reshape(St_pad, ell_K)),
+            f_from_t=np.asarray(f_from_t.reshape(S_pad, ell_K)),
             num_rows=dim_pad,
         )
     else:
