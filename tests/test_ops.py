@@ -228,3 +228,46 @@ def test_gat_ell_values_fused_matches_unfused():
     g_u = jax.grad(loss(False), argnums=(0, 1, 2))(al, ar, x)
     for a, b in zip(g_f, g_u):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+def test_gat_conv_ell_matches_unfused():
+    """Fused gat_conv_ell == explicit logits + gat_edge_values + spmm + rowsum,
+    forward and gradients wrt (x, att_l, att_r, scale)."""
+    from vq_gnn_tpu.ops.gat import gat_conv_ell
+    from vq_gnn_tpu.ops.spmm import ell_rowsum
+
+    rng = np.random.RandomState(13)
+    n, nnz, c = 30, 180, 8
+    row, col, val = random_coo(rng, n, n, nnz)
+    val = np.abs(val)
+    e = make_ell_edges(row, col, val, n, K=4, S_pad=96, St_pad=104, with_maps=True)
+    x = jnp.asarray(rng.randn(n, c).astype(np.float32))
+    att_l = jnp.asarray(rng.randn(c + 1).astype(np.float32))
+    att_r = jnp.asarray(rng.randn(c + 1).astype(np.float32))
+    scale = jnp.float32(1.7)
+
+    def unfused(x_, attl_, attr_, scale_):
+        al = (x_ @ attl_[:c] + attl_[c]) / scale_
+        ar = (x_ @ attr_[:c] + attr_[c]) / scale_
+        ev = gat_edge_values(e.ell_row[:, None], e.ell_col, e.ell_val, al, ar)
+        ev_t = gat_edge_values(e.t_ell_col, e.t_ell_row[:, None], e.t_ell_val, al, ar)
+        ea = e.replace(ell_val=ev, t_ell_val=ev_t)
+        return spmm(ea, x_), ell_rowsum(ea, ev)
+
+    agg_f, rs_f = gat_conv_ell(e, x, att_l, att_r, scale)
+    agg_u, rs_u = unfused(x, att_l, att_r, scale)
+    np.testing.assert_allclose(np.asarray(agg_f), np.asarray(agg_u), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rs_f), np.asarray(rs_u), rtol=1e-5, atol=1e-5)
+
+    # scalar loss exercising both outputs like the model (normalized output)
+    def loss(fn):
+        def f(x_, attl_, attr_, scale_):
+            agg, rs = fn(x_, attl_, attr_, scale_)
+            return jnp.sum((agg / (rs + 1e-16)) ** 2) + jnp.sum(agg[n // 2 :] * 0.3)
+        return f
+
+    g_f = jax.grad(loss(lambda *a: gat_conv_ell(e, *a)), argnums=(0, 1, 2, 3))(
+        x, att_l, att_r, scale
+    )
+    g_u = jax.grad(loss(unfused), argnums=(0, 1, 2, 3))(x, att_l, att_r, scale)
+    for a, b in zip(g_f, g_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)

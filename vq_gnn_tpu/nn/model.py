@@ -288,24 +288,14 @@ def layer_forward(
         al, ar = al / scale, ar / scale
         e = batch.edges
         if gat_ell:
-            # attention in slot-ELL layout; the transposed copy the custom
-            # backward streams through is a permutation gather of the forward
-            # values (gat_ell_values), not a second logit/exp pass
-            from vq_gnn_tpu.ops.gat import gat_ell_values
-            from vq_gnn_tpu.ops.spmm import ell_rowsum
+            # fully-fused attention + aggregate + ones-normalizer: col-side
+            # logits come from the gathered neighbor rows on the MXU, and the
+            # custom backward is all row gathers + sorted segment-sums
+            from vq_gnn_tpu.ops.gat import gat_conv_ell
 
-            if e.t_from_f is not None:
-                ev, ev_t = gat_ell_values(e, al, ar)
-            else:  # batches built before the position maps existed
-                ev = gat_edge_values(
-                    e.ell_row[:, None], e.ell_col, e.ell_val, al, ar
-                )
-                ev_t = gat_edge_values(
-                    e.t_ell_col, e.t_ell_row[:, None], e.t_ell_val, al, ar
-                )
-            e_att = e.replace(ell_val=ev, t_ell_val=ev_t)
-            x_out = spmm(e_att, x_input)  # [dim_pad, C]
-            norm_col = ell_rowsum(e_att, ev)  # [dim_pad, 1]
+            x_out, norm_col = gat_conv_ell(
+                e, x_input, lp["att_l"], lp["att_r"], scale
+            )  # [dim_pad, C], [dim_pad, 1]
         else:
             ev = gat_edge_values(e.row, e.col, e.val, al, ar)
             x_out = spmm(e.replace(val=ev), x_input)

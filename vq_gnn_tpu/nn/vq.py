@@ -391,10 +391,20 @@ def lookup(state: VQState, node_ids: jnp.ndarray, p: VQParams):
     branch-slice order (branch i covers columns i*D:(i+1)*D).
     """
     c = jnp.take(state.c_indices, node_ids, axis=1).astype(jnp.int32)  # [nb, n]
-    table = jax.vmap(lambda eo, ci: jnp.take(eo, ci, axis=0))(
-        state.embedding_output, c
-    )  # [nb, n, K]
-    nb, n, _ = table.shape
-    feats = jnp.transpose(table[:, :, : p.num_D], (1, 0, 2)).reshape(n, nb * p.num_D)
-    grads = jnp.transpose(table[:, :, p.num_D :], (1, 0, 2)).reshape(n, nb * p.grad_dim)
+    # one-hot MXU GEMM instead of a per-branch [n, 2D]-row gather: rows of
+    # width 2D (= 32B at D=4) gather ~3x slower than the equivalent
+    # iota-compare einsum on TPU; HIGHEST precision keeps it exact (each
+    # output row is a single table row)
+    M = state.embedding_output.shape[1]
+    onehot = (
+        c[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2)
+    ).astype(jnp.float32)
+    table = jnp.einsum(
+        "bim,bmk->ibk", onehot, state.embedding_output,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [n, nb, K]
+    n, nb, _ = table.shape
+    feats = table[:, :, : p.num_D].reshape(n, nb * p.num_D)
+    grads = table[:, :, p.num_D :].reshape(n, nb * p.grad_dim)
     return feats, grads
