@@ -204,16 +204,24 @@ def _gat_conv_vjp_bwd(res, g):
 
     # ---- transposed layout: d x and d_al (cols are the sorted axis) ----
     St, Kt = edges.t_ell_col.shape
-    g_aug = jnp.concatenate(
-        [g_agg_s, g_rowsum.astype(gs), ar_node[:, None].astype(gs)], axis=1
-    )  # [R, C+2]
-    # one widened row gather; kept 2-D ([St*K, C+2]) and sliced row-major —
-    # a 3-D [St, K, C+2] gather result tempts XLA into a lane-padded
-    # (K -> 128) relayout copy that multiplies the buffer 16x
-    gath = jnp.take(g_aug, edges.t_ell_col.reshape(-1), axis=0, mode="clip")
-    g_rows_t = gath[:, :C].reshape(St, Kt, C)
-    g_rs_t = gath[:, C].reshape(St, Kt).astype(jnp.float32)
-    ar_t = gath[:, C + 1].reshape(St, Kt).astype(jnp.float32)
+    # the rowsum-cotangent and ar columns ride along in TWO half-width
+    # gathers instead of one (C+2)-wide one: a gather source wider than 128
+    # lanes (> ~77MB here) exceeds XLA's alternate-memory (VMEM) promotion
+    # budget and the gather drops to random-HBM speed (27.7ms vs 3.85ms
+    # measured); each [R, C/2+1] source tile-pads to 128 lanes and stays
+    # promotable
+    C1 = C // 2
+    idx_t = edges.t_ell_col.reshape(-1)
+    g_lo = jnp.concatenate([g_agg_s[:, :C1], g_rowsum.astype(gs)], axis=1)
+    g_hi = jnp.concatenate(
+        [g_agg_s[:, C1:], ar_node[:, None].astype(gs)], axis=1
+    )
+    gl = jnp.take(g_lo, idx_t, axis=0, mode="clip")  # [St*K, C1+1]
+    gh = jnp.take(g_hi, idx_t, axis=0, mode="clip")  # [St*K, C-C1+1]
+    g_t_lo = gl[:, :C1].reshape(St, Kt, C1)
+    g_t_hi = gh[:, : C - C1].reshape(St, Kt, C - C1)
+    g_rs_t = gl[:, C1].reshape(St, Kt).astype(jnp.float32)
+    ar_t = gh[:, C - C1].reshape(St, Kt).astype(jnp.float32)
     x_rows_t = jnp.take(x, edges.t_ell_row, axis=0, mode="clip")  # [St, C]
     al_t = (
         x_rows_t @ attl_v + jnp.asarray(att_l[C], jnp.float32)
@@ -221,11 +229,18 @@ def _gat_conv_vjp_bwd(res, g):
     a_t = al_t[:, None] + ar_t
     ev_t = jnp.exp(jax.nn.leaky_relu(a_t, NEGATIVE_SLOPE)) * edges.t_ell_val
     dx_agg = jax.ops.segment_sum(
-        jnp.einsum("sk,skc->sc", ev_t, g_rows_t, preferred_element_type=jnp.float32),
+        jnp.concatenate(
+            [
+                jnp.einsum("sk,skc->sc", ev_t, g_t_lo, preferred_element_type=jnp.float32),
+                jnp.einsum("sk,skc->sc", ev_t, g_t_hi, preferred_element_type=jnp.float32),
+            ],
+            axis=1,
+        ),
         edges.t_ell_row, num_segments=R + 1, indices_are_sorted=True,
     )[:R]
     g_ev_t = (
-        jnp.einsum("skc,sc->sk", g_rows_t, x_rows_t, preferred_element_type=jnp.float32)
+        jnp.einsum("skc,sc->sk", g_t_lo, x_rows_t[:, :C1], preferred_element_type=jnp.float32)
+        + jnp.einsum("skc,sc->sk", g_t_hi, x_rows_t[:, C1:], preferred_element_type=jnp.float32)
         + g_rs_t
     )
     d_a_t = g_ev_t * ev_t * jnp.where(a_t > 0, 1.0, NEGATIVE_SLOPE)
