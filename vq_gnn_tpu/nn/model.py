@@ -54,6 +54,14 @@ class ModelStatic:
     vq: VQParams
     # 'bbprime' (v2 B+B') or 'bm' (v1 B+M mapper formulation)
     formulation: str = "bbprime"
+    # stochastic branch dropping (reference --dropbranch, models.py v2:150-155).
+    # The reference implementation is unrunnable (the branch-subset cat
+    # mismatches gnn_transform's fan-in in both v1 and v2); this is the
+    # working static-shape semantics: each training step keeps exactly
+    # int(nb*(1-p)) branches per layer, and a dropped branch contributes no
+    # codebook features, no gradient-recovery term, no VQ/c_indices update
+    # (and, in the v1 per-branch-conv formulation, a zeroed hidden slice).
+    dropbranch: float = 0.0
     # streaming dtype for the aggregate (gathered features + edge values);
     # accumulation stays f32. 'bfloat16' halves the dominant HBM traffic.
     compute_dtype: str = "float32"
@@ -92,9 +100,13 @@ def model_static(cfg: Config, in_channels: int, out_channels: int) -> ModelStati
         backend=cfg.vq_backend,
     )
     if cfg.dropbranch > 0:
-        # cat of a branch subset mismatches gnn_transform's fan-in in the
-        # reference too (models.py v2:150-174); only dropbranch=0 is runnable.
-        raise NotImplementedError("dropbranch > 0 is broken in the reference")
+        if not 0.0 < cfg.dropbranch < 1.0:
+            raise ValueError("dropbranch must be in [0, 1)")
+        for c in chans[:-1]:
+            if int((c // cfg.num_D) * (1.0 - cfg.dropbranch)) < 1:
+                raise ValueError(
+                    "dropbranch too large: a layer would keep zero branches"
+                )
     if cfg.transformer_flag and cfg.formulation != "bm":
         # the v2 transformer path is commented out (models.py v2:206-226)
         raise NotImplementedError("transformer_flag requires formulation='bm'")
@@ -112,6 +124,7 @@ def model_static(cfg: Config, in_channels: int, out_channels: int) -> ModelStati
         formulation=cfg.formulation,
         transformer_flag=cfg.transformer_flag,
         compute_dtype=cfg.compute_dtype,
+        dropbranch=cfg.dropbranch,
     )
 
 
@@ -248,6 +261,7 @@ def layer_forward(
     probe: Optional[jnp.ndarray],  # [B_pad, C_conv] or None
     warm_up_rate,
     training: bool,
+    branch_keep: Optional[jnp.ndarray] = None,  # [nb] bool, dropbranch mask
 ):
     """One LowRankGNNLayer forward (``models.py v2:144-231``).
 
@@ -261,6 +275,14 @@ def layer_forward(
     fo_mask = batch.valid_fo.astype(x.dtype)[:, None]
     x_fo = x_fo * fo_mask
     grad_fo = jax.lax.stop_gradient(grad_fo * fo_mask)
+    if branch_keep is not None:
+        # dropped branches contribute no codebook features and no
+        # gradient-recovery term (batch-row columns stay, like the
+        # reference's full-width x into the conv, models.py v2:174)
+        x_fo = x_fo * jnp.repeat(branch_keep.astype(x_fo.dtype), ms.num_D)[None, :]
+        grad_fo = grad_fo * jnp.repeat(
+            branch_keep.astype(grad_fo.dtype), ms.vq.grad_dim
+        )[None, :]
 
     x_input = jnp.concatenate([x, x_fo], axis=0)  # [dim_pad, C_in]
     gat_ell = gat and batch.edges.ell_row is not None
@@ -339,7 +361,8 @@ def layer_forward(
 # one layer, B+M (v1 mapper) formulation
 # --------------------------------------------------------------------------
 def _bm_exact_reverse_info(
-    vq_state, ms: ModelStatic, batch: PaddedBatch, x_cols, warm_up_rate, al=None, ar_cb=None
+    vq_state, ms: ModelStatic, batch: PaddedBatch, x_cols, warm_up_rate,
+    al=None, ar_cb=None, branch_keep=None,
 ):
     """Exact v1 codeword-row output for non-GCN recovery.
 
@@ -377,6 +400,8 @@ def _bm_exact_reverse_info(
         one_branch,
         (vq_state.c_indices.astype(jnp.int32), grad_table, x_cols, al, ar_cb),
     )
+    if branch_keep is not None:
+        infos = infos * branch_keep.astype(infos.dtype)
     return jnp.sum(infos) * warm_up_rate
 
 
@@ -388,6 +413,7 @@ def transformer_branch(
     batch: PaddedBatch,
     probe_tr: Optional[jnp.ndarray],  # [nb, B_pad, D+1]
     warm_up_rate,
+    branch_keep: Optional[jnp.ndarray] = None,  # [nb] bool, dropbranch mask
 ):
     """v1 parallel low-rank global-attention branch.
 
@@ -441,9 +467,13 @@ def transformer_branch(
     if probe_tr is not None:
         out_B = out_B + probe_tr
 
+    if branch_keep is not None:  # dropped branches: no output, no recovery
+        out_M = out_M * branch_keep.astype(out_M.dtype)[:, None, None]
     info_backward = jnp.sum(out_M * gbar * warm_up_rate)
     # ones-column normalization (v1/models.py:209-210)
     out_B_n = out_B[:, :, :D] / (out_B[:, :, D:] + 1e-16)
+    if branch_keep is not None:
+        out_B_n = out_B_n * branch_keep.astype(out_B_n.dtype)[:, None, None]
     x_out_tr = jnp.transpose(out_B_n, (1, 0, 2)).reshape(B_pad, nb * D)
     return x_out_tr, info_backward
 
@@ -459,6 +489,7 @@ def layer_forward_bm(
     training: bool,
     vq_tr: Optional[VQState] = None,
     probe_tr: Optional[jnp.ndarray] = None,
+    branch_keep: Optional[jnp.ndarray] = None,  # [nb] bool, dropbranch mask
 ):
     """One v1 LowRankGNNLayer (``vq_gnn_v1/models.py:143-233, 307-367``).
 
@@ -477,6 +508,13 @@ def layer_forward_bm(
     fo_mask = batch.valid_fo.astype(x.dtype)[:, None]
     x_fo = x_fo * fo_mask * warm_up_rate
     grad_fo = jax.lax.stop_gradient(grad_fo * fo_mask)  # [fo, nb*Dg]
+    if branch_keep is not None:
+        # v1 drops the branch's whole block: no codebook features, no
+        # recovery term, and (below) a zeroed hidden slice into gnn_transform
+        x_fo = x_fo * jnp.repeat(branch_keep.astype(x_fo.dtype), D)[None, :]
+        grad_fo = grad_fo * jnp.repeat(
+            branch_keep.astype(grad_fo.dtype), ms.vq.grad_dim
+        )[None, :]
 
     if not gat:
         x_input = jnp.concatenate([x, x_fo], axis=0)
@@ -486,12 +524,15 @@ def layer_forward_bm(
         if batch.bm_rev_row is not None:  # exact non-GCN recovery reverse
             x_cols = jnp.transpose(x.reshape(B_pad, nb, D), (1, 0, 2))
             info_backward = _bm_exact_reverse_info(
-                vq_state, ms, batch, x_cols, warm_up_rate
+                vq_state, ms, batch, x_cols, warm_up_rate,
+                branch_keep=branch_keep,
             )
         else:
             out_fo = x_out[B_pad:]
             info_backward = jnp.sum(out_fo * grad_fo * warm_up_rate)
         out_B = x_out[:B_pad]
+        if branch_keep is not None:
+            out_B = out_B * jnp.repeat(branch_keep.astype(out_B.dtype), D)[None, :]
     else:
         dim = B_pad + batch.Bp_pad
         # per-branch inputs with the appended ones column: [nb, dim, D+1]
@@ -558,6 +599,7 @@ def layer_forward_bm(
                 warm_up_rate,
                 al=al[:, :B_pad],
                 ar_cb=ar_cb / scale,
+                branch_keep=branch_keep,
             )
         else:
             out_fo = x_out[:, B_pad:]  # [nb, fo, D+1]
@@ -568,6 +610,8 @@ def layer_forward_bm(
         # ones-column normalization of batch rows (v1/models.py:209-210)
         outb = x_out[:, :B_pad]
         outb = outb[:, :, :D] / (outb[:, :, D:] + 1e-16)
+        if branch_keep is not None:
+            outb = outb * branch_keep.astype(outb.dtype)[:, None, None]
         out_B = jnp.transpose(outb, (1, 0, 2)).reshape(B_pad, nb * D)
 
     out = out_B @ lp["gnn_transform"]["w"] + lp["gnn_transform"]["b"]
@@ -575,7 +619,8 @@ def layer_forward_bm(
         out = out + x @ lp["fc_sage"]["w"] + lp["fc_sage"]["b"]
     if ms.transformer_flag:
         x_tr, info_tr = transformer_branch(
-            lp, vq_tr, ms, x, batch, probe_tr, warm_up_rate
+            lp, vq_tr, ms, x, batch, probe_tr, warm_up_rate,
+            branch_keep=branch_keep,
         )
         out = (
             out
@@ -608,6 +653,7 @@ def model_forward(
     with_bn_act: bool = True,
     vq_states_tr: Optional[List[VQState]] = None,
     probes_tr: Optional[List[jnp.ndarray]] = None,
+    branch_masks: Optional[List[jnp.ndarray]] = None,  # dropbranch keep masks
 ):
     """Full LowRankGNN forward (``models.py v2:308-348``).
 
@@ -624,6 +670,7 @@ def model_forward(
     for l in range(L):
         layer_inputs.append(x)
         probe = probes[l] if probes is not None else None
+        keep = branch_masks[l] if branch_masks is not None else None
         if ms.formulation == "bm":
             x, info_b = layer_forward_bm(
                 params[l],
@@ -636,10 +683,12 @@ def model_forward(
                 training,
                 vq_tr=None if vq_states_tr is None else vq_states_tr[l],
                 probe_tr=probes_tr[l] if probes_tr else None,
+                branch_keep=keep,
             )
         else:
             x, info_b = layer_forward(
-                params[l], vq_states[l], ms, x, batch, probe, warm_up_rate, training
+                params[l], vq_states[l], ms, x, batch, probe, warm_up_rate,
+                training, branch_keep=keep,
             )
         info_total = info_total + info_b
         last = l == ms.num_layers - 1

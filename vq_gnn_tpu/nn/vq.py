@@ -231,12 +231,20 @@ def vq_update(
     batch_idx: jnp.ndarray,  # [B]
     p: VQParams,
     valid: Optional[jnp.ndarray] = None,
+    branch_keep: Optional[jnp.ndarray] = None,  # [nb] bool, dropbranch mask
 ) -> Tuple[VQState, jnp.ndarray]:
     """Joint feature+gradient codebook update (``vq.py:204-279``) — the body
     of the reference's backward hook.  BN-normalize [X_B || grad] (lazily
     seeding the running stats on first call, vq.py:216-221), scale the grad
     half, nearest-codeword assign, EMA k-means, then store a de-normalized
-    copy for lookups."""
+    copy for lookups.
+
+    ``branch_keep`` implements dropbranch: a dropped branch's hook never
+    fires in the reference design, so its entire per-branch state (codebook,
+    EMA accumulators, BN running stats, c_indices row) is left untouched.
+    (The shared ``bn_inited`` scalar still flips on the first update — a
+    documented deviation; the reference's per-instance flag is unobservable
+    anyway because its dropbranch path doesn't run.)"""
     D, Dg = p.num_D, p.grad_dim
     gs0, gs1 = p.grad_scale
 
@@ -303,9 +311,27 @@ def vq_update(
         g_mean_n,
         g_var_n,
     )
-    c_indices = state.c_indices.at[:, batch_idx].set(
-        idx.astype(jnp.int16), mode="drop"
-    )
+    idx_w = idx.astype(jnp.int16)
+    if branch_keep is not None:
+        def sel(new, old):
+            bk = branch_keep.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(bk, new, old)
+
+        emb = sel(emb, state.embedding)
+        emb_out = sel(emb_out, state.embedding_output)
+        size = sel(size, state.ema_cluster_size)
+        ema_w = sel(ema_w, state.ema_w)
+        f_mean_n = sel(f_mean_n, state.bn_feat_mean)
+        f_var_n = sel(f_var_n, state.bn_feat_var)
+        g_mean_n = sel(g_mean_n, state.bn_grad_mean)
+        g_var_n = sel(g_var_n, state.bn_grad_var)
+        bad = bad & branch_keep
+        idx_w = jnp.where(
+            branch_keep[:, None],
+            idx_w,
+            jnp.take(state.c_indices, batch_idx, axis=1, mode="clip"),
+        )
+    c_indices = state.c_indices.at[:, batch_idx].set(idx_w, mode="drop")
     return (
         state.replace(
             embedding=emb,

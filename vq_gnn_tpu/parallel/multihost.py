@@ -92,6 +92,18 @@ def make_ddp_step(ms, cfg):
         ]
         keys = jax.random.split(rng, n)
 
+        # dropbranch: one shared mask set per step — every shard drops the
+        # same branches so the single global VQ transition below matches
+        branch_masks = None
+        if ms.dropbranch > 0:
+            kd = jax.random.fold_in(rng, 7)
+            branch_masks = []
+            for nb in ms.num_branches:
+                kd, sub = jax.random.split(kd)
+                kept = int(nb * (1.0 - ms.dropbranch))
+                perm = jax.random.permutation(sub, nb)
+                branch_masks.append(jnp.zeros((nb,), bool).at[perm[:kept]].set(True))
+
         def loss_fn(params, probes):
             def one_shard(batch, probe_rows, key):
                 x_B = jnp.take(X_dev, batch.batch_idx, axis=0)
@@ -106,6 +118,7 @@ def make_ddp_step(ms, cfg):
                     warm_up_rate=warm_up_rate,
                     training=True,
                     rng=key,
+                    branch_masks=branch_masks,
                 )
                 mask = batch.train_mask & batch.valid_B
                 logz = jax.nn.log_softmax(out)
@@ -154,7 +167,8 @@ def make_ddp_step(ms, cfg):
                 Gb = jax.vmap(lambda a: _branch_view(a, nb, D))(gp)
                 Gb = jnp.transpose(Gb, (1, 0, 2, 3)).reshape(nb, -1, D)
                 new_vq[l], _ = vq_update(
-                    new_vq[l], Xb, Gb, flat_idx, ms.vq, valid=flat_valid
+                    new_vq[l], Xb, Gb, flat_idx, ms.vq, valid=flat_valid,
+                    branch_keep=None if branch_masks is None else branch_masks[l],
                 )
 
         metrics = {

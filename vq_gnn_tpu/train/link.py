@@ -69,13 +69,23 @@ def make_link_step(ms: ModelStatic, cfg: Config):
         dst_neg = jax.random.randint(
             r_neg, batch.link_src.shape, 0, jnp.maximum(batch.num_B, 1)
         )
+        # dropbranch keep masks (see step.py train_step)
+        branch_masks = None
+        if ms.dropbranch > 0:
+            rng, kd = jax.random.split(rng)
+            branch_masks = []
+            for nb in ms.num_branches:
+                kd, sub = jax.random.split(kd)
+                kept = int(nb * (1.0 - ms.dropbranch))
+                perm = jax.random.permutation(sub, nb)
+                branch_masks.append(jnp.zeros((nb,), bool).at[perm[:kept]].set(True))
 
         def loss_fn(params, pred_params, probes):
             x_B = jnp.take(X_dev, batch.batch_idx, axis=0)
             out, info_b, layer_inputs, new_bn = model_forward(
                 params, state.vq_states, state.bn_state, ms, x_B, batch,
                 probes=probes, warm_up_rate=warm_up_rate, training=True, rng=rng,
-                vq_states_tr=state.vq_states_tr,
+                vq_states_tr=state.vq_states_tr, branch_masks=branch_masks,
             )
             src = jnp.take(out, batch.link_src, axis=0)
             dst = jnp.take(out, batch.link_dst, axis=0)
@@ -119,7 +129,8 @@ def make_link_step(ms: ModelStatic, cfg: Config):
                 Xb = _branch_view(jax.lax.stop_gradient(layer_inputs[l]), nb, D)
                 Gb = _branch_view(g_probes[l][:, : nb * D], nb, D)
                 new_vq[l], _ = vq_update(
-                    new_vq[l], Xb, Gb, batch.batch_idx, ms.vq, valid=batch.valid_B
+                    new_vq[l], Xb, Gb, batch.batch_idx, ms.vq, valid=batch.valid_B,
+                    branch_keep=None if branch_masks is None else branch_masks[l],
                 )
 
         metrics = {

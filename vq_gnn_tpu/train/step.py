@@ -91,6 +91,21 @@ def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
         # empty list (not None) so it stays a valid differentiable pytree
         probes_tr = zero_probes_tr(ms, batch.B_pad) if ms.transformer_flag else []
 
+        # dropbranch: per layer keep exactly int(nb*(1-p)) branches (the
+        # reference's randperm subset, models.py v2:150-155, with static
+        # shapes — see ModelStatic.dropbranch)
+        branch_masks = None
+        if ms.dropbranch > 0:
+            rng, kd = jax.random.split(rng)
+            branch_masks = []
+            for nb in ms.num_branches:
+                kd, sub = jax.random.split(kd)
+                kept = int(nb * (1.0 - ms.dropbranch))
+                perm = jax.random.permutation(sub, nb)
+                branch_masks.append(
+                    jnp.zeros((nb,), bool).at[perm[:kept]].set(True)
+                )
+
         def loss_fn(params, probes, probes_tr):
             x_B = jnp.take(X_dev, batch.batch_idx, axis=0)
             out, info_b, layer_inputs, new_bn = model_forward(
@@ -106,6 +121,7 @@ def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
                 rng=rng,
                 vq_states_tr=state.vq_states_tr,
                 probes_tr=probes_tr,
+                branch_masks=branch_masks,
             )
             mask = batch.train_mask & batch.valid_B
             if multilabel:
@@ -140,7 +156,8 @@ def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
                 else:
                     Gb = _branch_view(gp[:, : nb * D], nb, D)
                 new_vq[l], _ = vq_update(
-                    new_vq[l], Xb, Gb, batch.batch_idx, ms.vq, valid=batch.valid_B
+                    new_vq[l], Xb, Gb, batch.batch_idx, ms.vq, valid=batch.valid_B,
+                    branch_keep=None if branch_masks is None else branch_masks[l],
                 )
 
         new_vq_tr = state.vq_states_tr
@@ -156,6 +173,7 @@ def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
                     batch.batch_idx,
                     ms.vq_tr,
                     valid=batch.valid_B,
+                    branch_keep=None if branch_masks is None else branch_masks[l],
                 )
 
         bad = [s.bad_init for s in new_vq]
