@@ -100,6 +100,9 @@ void vq_free_subgraph(SubgraphResult *r) {
 // Splits each row's edges into slots of K; emits (slot row, K cols, K vals)
 // padded with (num_rows, num_rows, 0).  out_* are preallocated: ell_row
 // [S_pad], ell_col/ell_val [S_pad*K] row-major.
+// Rows are dense: a row with no edges still gets one zero-valued dustbin
+// slot so sorted slot rows are gap-free over [0, num_rows) — the invariant
+// the windowed Pallas segment-sum relies on (ops/pallas_segsum.py).
 void vq_build_ell(const int64_t *row, const int64_t *col, const float *val,
                   int64_t E, int64_t num_rows, int64_t K, int64_t S_pad,
                   int32_t *ell_row, int32_t *ell_col, float *ell_val) {
@@ -108,17 +111,24 @@ void vq_build_ell(const int64_t *row, const int64_t *col, const float *val,
     ell_col[i] = (int32_t)num_rows;
     ell_val[i] = 0.0f;
   }
-  int64_t sid = -1, cur_row = -1, k = 0;
-  for (int64_t e = 0; e < E; ++e) {
-    if (row[e] != cur_row || k == K) {
-      if (row[e] != cur_row) cur_row = row[e];
+  int64_t sid = -1, k = 0, e = 0;
+  for (int64_t r = 0; r < num_rows; ++r) {
+    if (e >= E || row[e] != r) {  // empty row: one dustbin slot
       ++sid;
-      k = 0;
-      ell_row[sid] = (int32_t)cur_row;
+      ell_row[sid] = (int32_t)r;
+      continue;
     }
-    ell_col[sid * K + k] = (int32_t)col[e];
-    ell_val[sid * K + k] = val[e];
-    ++k;
+    k = K;  // force a fresh slot for this row's first edge
+    for (; e < E && row[e] == r; ++e) {
+      if (k == K) {
+        ++sid;
+        k = 0;
+        ell_row[sid] = (int32_t)r;
+      }
+      ell_col[sid * K + k] = (int32_t)col[e];
+      ell_val[sid * K + k] = val[e];
+      ++k;
+    }
   }
 }
 

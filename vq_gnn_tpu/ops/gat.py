@@ -133,7 +133,7 @@ def gat_conv_ell(edges, x, att_l, att_r, scale):
     ar) and sorted segment-sums; d_att and the logit terms of d_x reduce to
     dense matmuls with the per-node d_a sums.  No scatters anywhere.
     """
-    agg, rowsum = _gat_conv_fwd_impl(edges, x, att_l, att_r, scale)
+    agg, rowsum, _, _ = _gat_conv_fwd_impl(edges, x, att_l, att_r, scale)
     return agg, rowsum
 
 
@@ -152,23 +152,38 @@ def _gat_conv_fwd_impl(edges, x, att_l, att_r, scale):
     a = al_cols + jnp.take(ar_node, edges.ell_row, mode="clip")[:, None]
     ev = jnp.exp(jax.nn.leaky_relu(a, NEGATIVE_SLOPE)) * edges.ell_val
     part = jnp.einsum("sk,skc->sc", ev, nbrs, preferred_element_type=jnp.float32)
-    agg = jax.ops.segment_sum(
-        part, edges.ell_row, num_segments=R + 1, indices_are_sorted=True
-    )[:R]
-    rowsum = jax.ops.segment_sum(
-        jnp.sum(ev, axis=1), edges.ell_row, num_segments=R + 1,
-        indices_are_sorted=True,
-    )[:R][:, None]
-    return agg, rowsum
+    from vq_gnn_tpu.ops.spmm import pallas_segsum_ok
+
+    if pallas_segsum_ok(edges.dense_rows, C):
+        # one windowed pass produces the aggregate AND the ones-column
+        # normalizer (fused scalar channel) — no scatter-adds at all
+        from vq_gnn_tpu.ops.pallas_segsum import segment_sum_sorted
+
+        agg, rowsum = segment_sum_sorted(
+            part, edges.ell_row, R, scalar_partials=jnp.sum(ev, axis=1)
+        )
+        rowsum = rowsum[:, None]
+    else:
+        agg = jax.ops.segment_sum(
+            part, edges.ell_row, num_segments=R + 1, indices_are_sorted=True
+        )[:R]
+        rowsum = jax.ops.segment_sum(
+            jnp.sum(ev, axis=1), edges.ell_row, num_segments=R + 1,
+            indices_are_sorted=True,
+        )[:R][:, None]
+    return agg, rowsum, a, ar_node
 
 
 def _gat_conv_vjp_fwd(edges, x, att_l, att_r, scale):
-    out = _gat_conv_fwd_impl(edges, x, att_l, att_r, scale)
-    return out, (edges, x, att_l, att_r, scale)
+    agg, rowsum, a, ar_node = _gat_conv_fwd_impl(edges, x, att_l, att_r, scale)
+    # residuals: a [S, K] and ar_node [R] are ~2% of the gathered-neighbor
+    # traffic; saving them spares the backward the whole logit recompute
+    # (one [S,K,C]-read einsum + gathers)
+    return (agg, rowsum), (edges, x, att_l, att_r, scale, a, ar_node)
 
 
 def _gat_conv_vjp_bwd(res, g):
-    edges, x, att_l, att_r, scale = res
+    edges, x, att_l, att_r, scale, a, ar_node = res
     g_agg, g_rowsum = g
     C = x.shape[1]
     R = edges.num_rows
@@ -181,12 +196,6 @@ def _gat_conv_vjp_bwd(res, g):
     nbrs = jnp.take(x, edges.ell_col.reshape(-1), axis=0, mode="clip").reshape(
         edges.ell_col.shape + (C,)
     )
-    al_cols = (
-        jnp.einsum("skc,c->sk", nbrs, attl_v, preferred_element_type=jnp.float32)
-        + att_l[C]
-    ) / scale
-    ar_node = (x @ attr_v + att_r[C]) / scale
-    a = al_cols + jnp.take(ar_node, edges.ell_row, mode="clip")[:, None]
     lslope = jnp.where(a > 0, 1.0, NEGATIVE_SLOPE)
     ev = jnp.exp(jax.nn.leaky_relu(a, NEGATIVE_SLOPE)) * edges.ell_val
     g_rows = jnp.take(g_agg_s, edges.ell_row, axis=0, mode="clip")  # [S, C]
@@ -196,10 +205,20 @@ def _gat_conv_vjp_bwd(res, g):
         + g_rs_rows[:, None]
     )
     d_a = g_ev * ev * lslope  # [S, K]; padding cells have ev = 0
-    d_ar_node = jax.ops.segment_sum(
-        jnp.sum(d_a, axis=1), edges.ell_row, num_segments=R + 1,
-        indices_are_sorted=True,
-    )[:R]
+    from vq_gnn_tpu.ops.spmm import pallas_segsum_ok
+
+    use_pallas = pallas_segsum_ok(edges.dense_rows, C)
+    if use_pallas:
+        from vq_gnn_tpu.ops.pallas_segsum import segment_sum_sorted
+
+        d_ar_node = segment_sum_sorted(
+            None, edges.ell_row, R, scalar_partials=jnp.sum(d_a, axis=1)
+        )
+    else:
+        d_ar_node = jax.ops.segment_sum(
+            jnp.sum(d_a, axis=1), edges.ell_row, num_segments=R + 1,
+            indices_are_sorted=True,
+        )[:R]
     d_scale = -jnp.sum(d_a * a) / scale
 
     # ---- transposed layout: d x and d_al (cols are the sorted axis) ----
@@ -216,8 +235,15 @@ def _gat_conv_vjp_bwd(res, g):
     g_hi = jnp.concatenate(
         [g_agg_s[:, C1:], ar_node[:, None].astype(gs)], axis=1
     )
-    gl = jnp.take(g_lo, idx_t, axis=0, mode="clip")  # [St*K, C1+1]
-    gh = jnp.take(g_hi, idx_t, axis=0, mode="clip")  # [St*K, C-C1+1]
+    # optimization_barrier: each gather output feeds 3 consumers (two einsums
+    # + the scalar-column slice); without the barrier XLA re-materializes the
+    # 554MB gather once per consumer (measured 5 gathers/layer instead of 2)
+    gl, gh = jax.lax.optimization_barrier(
+        (
+            jnp.take(g_lo, idx_t, axis=0, mode="clip"),  # [St*K, C1+1]
+            jnp.take(g_hi, idx_t, axis=0, mode="clip"),  # [St*K, C-C1+1]
+        )
+    )
     g_t_lo = gl[:, :C1].reshape(St, Kt, C1)
     g_t_hi = gh[:, : C - C1].reshape(St, Kt, C - C1)
     g_rs_t = gl[:, C1].reshape(St, Kt).astype(jnp.float32)
@@ -228,26 +254,32 @@ def _gat_conv_vjp_bwd(res, g):
     ) / scale  # [St]
     a_t = al_t[:, None] + ar_t
     ev_t = jnp.exp(jax.nn.leaky_relu(a_t, NEGATIVE_SLOPE)) * edges.t_ell_val
-    dx_agg = jax.ops.segment_sum(
-        jnp.concatenate(
-            [
-                jnp.einsum("sk,skc->sc", ev_t, g_t_lo, preferred_element_type=jnp.float32),
-                jnp.einsum("sk,skc->sc", ev_t, g_t_hi, preferred_element_type=jnp.float32),
-            ],
-            axis=1,
-        ),
-        edges.t_ell_row, num_segments=R + 1, indices_are_sorted=True,
-    )[:R]
+    dx_part = jnp.concatenate(
+        [
+            jnp.einsum("sk,skc->sc", ev_t, g_t_lo, preferred_element_type=jnp.float32),
+            jnp.einsum("sk,skc->sc", ev_t, g_t_hi, preferred_element_type=jnp.float32),
+        ],
+        axis=1,
+    )
     g_ev_t = (
         jnp.einsum("skc,sc->sk", g_t_lo, x_rows_t[:, :C1], preferred_element_type=jnp.float32)
         + jnp.einsum("skc,sc->sk", g_t_hi, x_rows_t[:, C1:], preferred_element_type=jnp.float32)
         + g_rs_t
     )
     d_a_t = g_ev_t * ev_t * jnp.where(a_t > 0, 1.0, NEGATIVE_SLOPE)
-    d_al_node = jax.ops.segment_sum(
-        jnp.sum(d_a_t, axis=1), edges.t_ell_row, num_segments=R + 1,
-        indices_are_sorted=True,
-    )[:R]
+    if use_pallas:
+        # dx and d_al share the transposed segment ids: one fused pass
+        dx_agg, d_al_node = segment_sum_sorted(
+            dx_part, edges.t_ell_row, R, scalar_partials=jnp.sum(d_a_t, axis=1)
+        )
+    else:
+        dx_agg = jax.ops.segment_sum(
+            dx_part, edges.t_ell_row, num_segments=R + 1, indices_are_sorted=True
+        )[:R]
+        d_al_node = jax.ops.segment_sum(
+            jnp.sum(d_a_t, axis=1), edges.t_ell_row, num_segments=R + 1,
+            indices_are_sorted=True,
+        )[:R]
 
     # ---- assemble ----
     xf = x.astype(jnp.float32)

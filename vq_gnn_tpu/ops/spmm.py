@@ -21,6 +21,7 @@ interface (``spmm_backend='pallas'``).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -65,6 +66,10 @@ class Edges(struct.PyTreeNode):
     t_from_f: Optional[jnp.ndarray] = None  # [St_pad, K] int32
     f_from_t: Optional[jnp.ndarray] = None  # [S_pad, K] int32
     num_rows: int = struct.field(pytree_node=False, default=0)
+    # True when the ELL builder guaranteed every row in [0, num_rows) owns
+    # >= 1 slot (empty rows get a zero-valued dustbin-col slot).  Gap-free
+    # sorted rows let aggregates use the windowed Pallas segment-sum.
+    dense_rows: bool = struct.field(pytree_node=False, default=False)
 
 
 def _segment_matvec(row, col, val, x, num_rows, sorted_rows):
@@ -77,7 +82,33 @@ def _segment_matvec(row, col, val, x, num_rows, sorted_rows):
     return out[:num_rows]
 
 
-def _ell_matvec(ell_row, ell_col, ell_val, x, num_rows):
+_SEGSUM_MODE = os.environ.get("VQ_GNN_SEGSUM", "auto")  # auto | xla
+
+
+def pallas_segsum_ok(dense_rows: bool, lanes: int = 128) -> bool:
+    """True when the windowed Pallas segment-sum applies: gap-free sorted
+    ELL rows, lane-tileable width, real TPU lowering, not disabled by env."""
+    return (
+        _SEGSUM_MODE == "auto"
+        and dense_rows
+        and lanes % 128 == 0
+        and jax.default_backend() != "cpu"
+    )
+
+
+def sorted_segment_sum(part, seg, num_rows, dense_rows):
+    """Dispatch: windowed Pallas kernel when the ELL guarantees gap-free
+    sorted rows and the lane width tiles cleanly; XLA scatter otherwise."""
+    if part.ndim == 2 and pallas_segsum_ok(dense_rows, part.shape[1]):
+        from vq_gnn_tpu.ops.pallas_segsum import segment_sum_sorted
+
+        return segment_sum_sorted(part, seg, num_rows)
+    return jax.ops.segment_sum(
+        part, seg, num_segments=num_rows + 1, indices_are_sorted=True
+    )[:num_rows]
+
+
+def _ell_matvec(ell_row, ell_col, ell_val, x, num_rows, dense_rows=False):
     """Slot-ELL aggregate: gather K neighbors per slot, dense K-reduce,
     segment-sum partials over sorted slot rows."""
     S, K = ell_col.shape
@@ -88,10 +119,7 @@ def _ell_matvec(ell_row, ell_col, ell_val, x, num_rows):
     part = jnp.einsum(
         "sk,skd->sd", ell_val, nbrs, preferred_element_type=jnp.float32
     )
-    out = jax.ops.segment_sum(
-        part, ell_row, num_segments=num_rows + 1, indices_are_sorted=True
-    )
-    return out[:num_rows]
+    return sorted_segment_sum(part, ell_row, num_rows, dense_rows)
 
 
 def _ell_sddmm(ell_row, ell_col, g, x):
@@ -110,7 +138,10 @@ def _ell_sddmm(ell_row, ell_col, g, x):
 def spmm(edges: Edges, x: jnp.ndarray) -> jnp.ndarray:
     """out[r] = sum_e 1[row_e == r] * val_e * x[col_e]  ->  [num_rows, D]."""
     if edges.ell_row is not None:
-        return _ell_matvec(edges.ell_row, edges.ell_col, edges.ell_val, x, edges.num_rows)
+        return _ell_matvec(
+            edges.ell_row, edges.ell_col, edges.ell_val, x, edges.num_rows,
+            edges.dense_rows,
+        )
     return _segment_matvec(edges.row, edges.col, edges.val, x, edges.num_rows, True)
 
 
@@ -128,7 +159,8 @@ def _spmm_bwd(res, g):
         # the backward gather traffic too); accumulation stays f32
         g_s = g.astype(x.dtype) if x.dtype != g.dtype else g
         dx = _ell_matvec(
-            edges.t_ell_row, edges.t_ell_col, edges.t_ell_val, g_s, num_cols
+            edges.t_ell_row, edges.t_ell_col, edges.t_ell_val, g_s, num_cols,
+            edges.dense_rows,
         ).astype(x.dtype)
         dval_ell = _ell_sddmm(edges.ell_row, edges.ell_col, g_s, x).astype(
             edges.ell_val.dtype
@@ -177,6 +209,11 @@ def build_ell_host(row, col, val, num_rows: int, K: int, S_pad: int = 0):
     Returns (ell_row [S_pad], ell_col [S_pad, K], ell_val [S_pad, K]).
     Padding slots carry row = num_rows (dustbin segment), col = num_rows
     (clamped gather), val = 0.
+
+    Rows are **dense**: a row with no edges still gets one zero-valued slot
+    (col = dustbin), so sorted slot rows are gap-free over [0, num_rows) —
+    the invariant the windowed Pallas segment-sum relies on.  Real batches
+    only pay this for the pad margins (every real row carries a self-loop).
     """
     import numpy as np
 
@@ -194,7 +231,7 @@ def build_ell_host(row, col, val, num_rows: int, K: int, S_pad: int = 0):
     deg = np.bincount(row, minlength=num_rows)
     starts = np.concatenate([[0], np.cumsum(deg)])
     pos = np.arange(len(row)) - starts[row]
-    nslot = (deg + K - 1) // K
+    nslot = np.maximum((deg + K - 1) // K, 1)  # empty rows: one dustbin slot
     slot_base = np.concatenate([[0], np.cumsum(nslot)])
     S = int(slot_base[-1])
     if S_pad <= 0:
@@ -212,16 +249,19 @@ def build_ell_host(row, col, val, num_rows: int, K: int, S_pad: int = 0):
     return ell_row, ell_col, ell_val
 
 
-def ell_positions(row_sorted, K: int):
+def ell_positions(row_sorted, K: int, num_rows: int = 0):
     """Flattened slot-ELL cell position (sid*K + k) of each edge, given the
-    row-sorted row array the ELL was built from (numpy, host-side)."""
+    row-sorted row array the ELL was built from (numpy, host-side).  Must
+    mirror build_ell_host's dense-rows slot layout."""
     import numpy as np
 
     row = np.asarray(row_sorted, np.int64)
-    deg = np.bincount(row, minlength=int(row[-1]) + 1 if len(row) else 0)
+    if num_rows <= 0:
+        num_rows = int(row[-1]) + 1 if len(row) else 0
+    deg = np.bincount(row, minlength=num_rows)
     starts = np.concatenate([[0], np.cumsum(deg)])
     pos = np.arange(len(row)) - starts[row]
-    nslot = (deg + K - 1) // K
+    nslot = np.maximum((deg + K - 1) // K, 1)
     slot_base = np.concatenate([[0], np.cumsum(nslot)])
     sid = slot_base[row] + pos // K
     return (sid * K + pos % K).astype(np.int64)

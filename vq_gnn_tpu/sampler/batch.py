@@ -127,8 +127,8 @@ def build_padded_batch(
         # transposed one with a single gather (sentinel -> mode='fill' zero)
         from vq_gnn_tpu.ops.spmm import ell_positions
 
-        f_pos = ell_positions(rs, ell_K)
-        t_pos = ell_positions(cs[t_order], ell_K)
+        f_pos = ell_positions(rs, ell_K, dim_pad)
+        t_pos = ell_positions(cs[t_order], ell_K, dim_pad)
         t_from_f = np.full(St_pad * ell_K, S_pad * ell_K, np.int32)
         t_from_f[t_pos] = f_pos[t_order]
         f_from_t = np.full(S_pad * ell_K, St_pad * ell_K, np.int32)
@@ -143,6 +143,7 @@ def build_padded_batch(
             t_from_f=np.asarray(t_from_f.reshape(St_pad, ell_K)),
             f_from_t=np.asarray(f_from_t.reshape(S_pad, ell_K)),
             num_rows=dim_pad,
+            dense_rows=True,  # build_ell_host gives every row >= 1 slot
         )
     else:
         row = np.full(E_pad, dim_pad, np.int32)

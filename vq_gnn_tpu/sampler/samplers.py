@@ -350,15 +350,17 @@ class BatchLoader:
         self._E_bucket = max(self._E_bucket, round_up(max(E, 1), me))
         return self._B_bucket, self._Bp_bucket, self._E_bucket
 
-    def _slot_pad(self, er, K, dim, attr):
+    def _slot_pad(self, er, K, dim_pad, attr):
         ms = max(self.cfg.pad_multiple_edges // K, 64)
         if self.cfg.fixed_B_pad:
             # multi-host: deterministic upper bound so every process agrees
-            # (E/K full slots + at most one partial slot per row)
+            # (E/K full slots + at most one partial/empty slot per row)
             bound = self.cfg.fixed_E_pad // K + self.cfg.fixed_B_pad + self.cfg.fixed_Bp_pad + 1
             return round_up(bound, ms)
-        deg = np.bincount(er, minlength=dim)
-        S = int(((deg + K - 1) // K).sum())
+        # dense-rows ELL: every one of the dim_pad local rows owns >= 1 slot
+        deg = np.bincount(er, minlength=dim_pad)
+        nnz_rows = int((deg > 0).sum())
+        S = int(((deg + K - 1) // K).sum()) + (dim_pad - nnz_rows)
         bucket = max(getattr(self, attr), round_up(max(S, 1), ms))
         setattr(self, attr, bucket)
         return bucket
@@ -387,9 +389,9 @@ class BatchLoader:
         ell_K = S_pad = St_pad = 0
         if self.cfg.spmm_backend == "ell":
             ell_K = self.cfg.ell_K
-            dim = len(node_idx) + len(fo_ids) + 1
-            S_pad = self._slot_pad(er, ell_K, dim, "_S_bucket")
-            St_pad = self._slot_pad(ec, ell_K, dim, "_St_bucket")
+            dim_pad = B_pad + Bp_pad
+            S_pad = self._slot_pad(er, ell_K, dim_pad, "_S_bucket")
+            St_pad = self._slot_pad(ec, ell_K, dim_pad, "_St_bucket")
         L_pad = 0
         if self.with_link_edges:
             n_link = int(((er < len(node_idx)) & (ec < len(node_idx))).sum())
