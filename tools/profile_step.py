@@ -34,6 +34,8 @@ def main():
         dataset="arxiv", conv_type=os.environ.get("VQ_GNN_PROF_CONV", "GCN"), num_layers=3, hidden_channels=128,
         num_D=4, num_M=256, sampler_type="cluster", num_parts=80, batch_size=40,
         skip=True, matmul_precision="default",
+        vq_backend=os.environ.get("VQ_GNN_PROF_VQ_BACKEND", "xla_fast"),
+        compute_dtype=os.environ.get("VQ_GNN_PROF_DTYPE", "float32"),
     )
     g, c = synthetic_sbm(num_nodes=169_343, num_classes=40, num_features=128,
                          avg_degree=13.7, seed=0)

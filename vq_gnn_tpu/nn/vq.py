@@ -419,15 +419,18 @@ def lookup(state: VQState, node_ids: jnp.ndarray, p: VQParams):
     c = jnp.take(state.c_indices, node_ids, axis=1).astype(jnp.int32)  # [nb, n]
     # one-hot MXU GEMM instead of a per-branch [n, 2D]-row gather: rows of
     # width 2D (= 32B at D=4) gather ~3x slower than the equivalent
-    # iota-compare einsum on TPU; HIGHEST precision keeps it exact (each
-    # output row is a single table row)
+    # iota-compare einsum on TPU.  Precision inherits the ambient
+    # jax_default_matmul_precision (framework convention): parity configs
+    # run 'highest' (bit-exact row selection), the bench runs 'default'
+    # where the only effect is bf16 rounding of the selected codewords —
+    # the same rounding every other default-precision MXU op applies
+    # (measured 6.3 -> ~1.5 ms/step at B'=65k, nb=32).
     M = state.embedding_output.shape[1]
     onehot = (
         c[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2)
     ).astype(jnp.float32)
     table = jnp.einsum(
         "bim,bmk->ibk", onehot, state.embedding_output,
-        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )  # [n, nb, K]
     n, nb, _ = table.shape

@@ -3,11 +3,21 @@
 Fuses the reference's four-op hot sequence (``vq.py v2:229-256``):
 distance GEMM -> argmin -> one-hot -> (counts, one-hot GEMM sums)
 into one pass.  The [B, M] distance matrix and the [B, M] one-hot never
-leave VMEM — at B=85k, M=256 that saves ~170MB of HBM round-trip per branch
-per step vs the XLA lowering.
+leave VMEM — at B=86k, M=256, nb=32 branches that saves ~1.4GB of HBM
+round-trip per layer per step vs the XLA lowering.
 
 Layout: grid over B tiles; the codebook (M<=32767, K<=2*D+1) stays resident
 in VMEM; counts/sums accumulate across the sequential TPU grid.
+
+Hard-won lowering notes:
+- ``jnp.sum(emb*emb, axis=1)[None, :]`` inside the kernel forces a
+  sublane->lane transpose of a [M] vector that Mosaic lowers via ~178MB of
+  register spills (!) — the codebook row norms must be computed OUTSIDE and
+  passed as a [1, M] operand.
+- the assignment index must be produced as [TB, 1] (keepdims) — a [TB]
+  1-D value reshaped to rows triggers the same relayout spill.
+- Mosaic's generic argmin lowering also blows scoped VMEM; the manual
+  min + compare + index-min sequence below is fine.
 """
 
 from __future__ import annotations
@@ -20,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _assign_kernel(xn_ref, emb_ref, valid_ref, idx_ref, counts_ref, sums_ref):
+def _assign_kernel(xn_ref, emb_ref, e2_ref, valid_ref, idx_ref, counts_ref, sums_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -31,24 +41,20 @@ def _assign_kernel(xn_ref, emb_ref, valid_ref, idx_ref, counts_ref, sums_ref):
     xn = xn_ref[:]  # [TB, K]
     emb = emb_ref[:]  # [M, K]
     valid = valid_ref[:]  # [TB, 1] f32
+    M = emb.shape[0]
 
     # expanded-square distances on the MXU; ||xn||^2 is constant per row and
     # does not affect the argmin, so skip it
-    d = (
-        jnp.sum(emb * emb, axis=1)[None, :]
-        - 2.0 * jnp.dot(xn, emb.T, preferred_element_type=jnp.float32)
-    )  # [TB, M]
-    M = emb.shape[0]
-    # manual first-argmin (min + compare + index-min) — Mosaic's generic
-    # argmin lowering blows the scoped-VMEM budget at these tile shapes
+    d = e2_ref[:] - 2.0 * jnp.dot(xn, emb.T, preferred_element_type=jnp.float32)
+    # manual first-argmin (min + compare + index-min)
     d_min = jnp.min(d, axis=1, keepdims=True)
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    idx = jnp.min(jnp.where(d <= d_min, col, M), axis=1).astype(jnp.int32)
-    # idx written as full 128-lane rows (a [TB, 1] output would be
-    # lane-padded to [TB, 128] in VMEM and blow the scoped budget)
-    idx_ref[:] = idx.reshape(idx_ref.shape)
+    idx = jnp.min(jnp.where(d <= d_min, col, M), axis=1, keepdims=True).astype(
+        jnp.int32
+    )  # [TB, 1]
+    idx_ref[:] = idx
 
-    onehot = (idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)).astype(
+    onehot = (idx == jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)).astype(
         jnp.float32
     )
     onehot = onehot * valid
@@ -71,13 +77,13 @@ def fused_assign(xn, emb, valid, tile_b: int = 1024, interpret: bool = False):
     """
     B, K = xn.shape
     M = emb.shape[0]
-    assert tile_b % 1024 == 0, "tile_b must be a multiple of 1024 (idx rows of 8x128)"
+    assert tile_b % 128 == 0
     B_pad = ((B + tile_b - 1) // tile_b) * tile_b
     if B_pad != B:
         xn = jnp.pad(xn, ((0, B_pad - B), (0, 0)))
         valid = jnp.pad(valid, (0, B_pad - B))
     v2 = valid.astype(jnp.float32)[:, None]
-    tr = tile_b // 128  # idx rows per tile at full 128-lane width
+    e2 = jnp.sum(emb * emb, axis=1, dtype=jnp.float32)[None, :]  # [1, M]
 
     grid = (B_pad // tile_b,)
     idx, counts, sums = pl.pallas_call(
@@ -86,21 +92,22 @@ def fused_assign(xn, emb, valid, tile_b: int = 1024, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((tile_b, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tr, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B_pad // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B_pad, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, M), jnp.float32),
             jax.ShapeDtypeStruct((M, K), jnp.float32),
         ],
         interpret=interpret,
-    )(xn, emb, v2)
-    return idx.reshape(B_pad)[:B], counts[0], sums
+    )(xn, emb, e2, v2)
+    return idx[:B, 0], counts[0], sums
 
 
 def fused_assign_branches(xn, emb, valid, tile_b: int = 1024, interpret: bool = False):
