@@ -270,8 +270,13 @@ def layer_forward(
     B_pad = batch.B_pad
     gat = ms.conv_type == "GAT"
 
-    # out-of-batch features/grads from the codebook (models.py v2:165-173)
-    x_fo, grad_fo = lookup(vq_state, batch.fo_ids, ms.vq)
+    # out-of-batch features/grads from the codebook (models.py v2:165-173);
+    # the one-hot lookup streams bf16 when the whole compute path does
+    _ld = jnp.dtype(ms.compute_dtype)
+    x_fo, grad_fo = lookup(
+        vq_state, batch.fo_ids, ms.vq,
+        stream=_ld if _ld == jnp.bfloat16 else None,
+    )
     fo_mask = batch.valid_fo.astype(x.dtype)[:, None]
     x_fo = x_fo * fo_mask
     grad_fo = jax.lax.stop_gradient(grad_fo * fo_mask)
@@ -324,16 +329,22 @@ def layer_forward(
     else:
         x_out = spmm(batch.edges, x_input)
 
-    # probe == the reference's per-branch grad hook point (models.py v2:181-185)
+    # probe == the reference's per-branch grad hook point (models.py v2:181-185).
+    # Concatenate instead of .at[:B_pad].add — the static-slice update lowers
+    # to a scatter-add + full-array gather (~3.5ms/step measured); the concat
+    # fuses into the consumers.
+    def _add_head(arr, p_):
+        return jnp.concatenate([arr[:B_pad] + p_, arr[B_pad:]], axis=0)
+
     if probe is not None:
         if norm_col is not None:
             # probe stays (C+1)-wide like the reference conv output; its last
             # column lands on the separated ones-normalizer
             Cc = x_out.shape[1]
-            x_out = x_out.at[:B_pad].add(probe[:, :Cc])
-            norm_col = norm_col.at[:B_pad].add(probe[:, Cc:])
+            x_out = _add_head(x_out, probe[:, :Cc])
+            norm_col = _add_head(norm_col, probe[:, Cc:])
         else:
-            x_out = x_out.at[:B_pad].add(probe)
+            x_out = _add_head(x_out, probe)
 
     if gat:  # ones-column normalization of batch rows (models.py v2:187-189)
         if norm_col is not None:

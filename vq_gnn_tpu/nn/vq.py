@@ -130,12 +130,14 @@ def _assign_and_stats(xn, emb, valid, p: VQParams):
     """
     if valid is None:
         valid = jnp.ones(xn.shape[1], dtype=bool)
-    if p.backend == "pallas":
+    if p.backend in ("pallas", "pallas_fast"):
         from vq_gnn_tpu.ops.pallas_vq import fused_assign_branches
 
         # interpret mode keeps the kernel testable on CPU
         return fused_assign_branches(
-            xn, emb, valid, interpret=jax.default_backend() == "cpu"
+            xn, emb, valid,
+            interpret=jax.default_backend() == "cpu",
+            fast=p.backend == "pallas_fast",
         )
     if p.backend == "scan":
         from vq_gnn_tpu.ops.vq_ops import assign_stats_scan
@@ -410,11 +412,17 @@ def ste_vector_quantizer(
     return loss, st, onehot, idx
 
 
-def lookup(state: VQState, node_ids: jnp.ndarray, p: VQParams):
+def lookup(state: VQState, node_ids: jnp.ndarray, p: VQParams, stream=None):
     """Codebook lookup for out-of-batch nodes (``models.py v2:168-173``).
 
     node_ids [n] -> (features [n, nb*D], grads [n, nb*Dg]) assembled in
     branch-slice order (branch i covers columns i*D:(i+1)*D).
+
+    ``stream`` (a dtype) streams the one-hot operand at that dtype: under a
+    bfloat16 compute path the [nb, n, M] one-hot halves its MXU-stream
+    traffic; 0/1 entries are exact, so the only rounding is of the selected
+    codeword values — the same bf16 rounding the rest of the bf16 path
+    applies.  f32/parity paths leave it None.
     """
     c = jnp.take(state.c_indices, node_ids, axis=1).astype(jnp.int32)  # [nb, n]
     # one-hot MXU GEMM instead of a per-branch [n, 2D]-row gather: rows of
@@ -426,11 +434,12 @@ def lookup(state: VQState, node_ids: jnp.ndarray, p: VQParams):
     # the same rounding every other default-precision MXU op applies
     # (measured 6.3 -> ~1.5 ms/step at B'=65k, nb=32).
     M = state.embedding_output.shape[1]
+    sdt = jnp.float32 if stream is None else jnp.dtype(stream)
     onehot = (
         c[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2)
-    ).astype(jnp.float32)
+    ).astype(sdt)
     table = jnp.einsum(
-        "bim,bmk->ibk", onehot, state.embedding_output,
+        "bim,bmk->ibk", onehot, state.embedding_output.astype(sdt),
         preferred_element_type=jnp.float32,
     )  # [n, nb, K]
     n, nb, _ = table.shape

@@ -30,7 +30,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _assign_kernel(xn_ref, emb_ref, e2_ref, valid_ref, idx_ref, counts_ref, sums_ref):
+def _assign_kernel(
+    xn_ref, emb_ref, e2_ref, valid_ref, idx_ref, counts_ref, sums_ref, *, fast
+):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -44,8 +46,16 @@ def _assign_kernel(xn_ref, emb_ref, e2_ref, valid_ref, idx_ref, counts_ref, sums
     M = emb.shape[0]
 
     # expanded-square distances on the MXU; ||xn||^2 is constant per row and
-    # does not affect the argmin, so skip it
-    d = e2_ref[:] - 2.0 * jnp.dot(xn, emb.T, preferred_element_type=jnp.float32)
+    # does not affect the argmin, so skip it.  ``fast`` mirrors the xla_fast
+    # backend: bf16 MXU operands (Mosaic requires the accumulator itself to
+    # stay 32-bit); near-tie assignments may flip vs exact f32.
+    if fast:
+        d = e2_ref[:] - 2.0 * jnp.dot(
+            xn.astype(jnp.bfloat16), emb.T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        d = e2_ref[:] - 2.0 * jnp.dot(xn, emb.T, preferred_element_type=jnp.float32)
     # manual first-argmin (min + compare + index-min)
     d_min = jnp.min(d, axis=1, keepdims=True)
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
@@ -54,26 +64,31 @@ def _assign_kernel(xn_ref, emb_ref, e2_ref, valid_ref, idx_ref, counts_ref, sums
     )  # [TB, 1]
     idx_ref[:] = idx
 
-    onehot = (idx == jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)).astype(
-        jnp.float32
-    )
-    onehot = onehot * valid
-    counts_ref[:] += jnp.sum(onehot, axis=0)[None, :]
+    acc = jnp.bfloat16 if fast else jnp.float32  # 0/1 and the mask are exact
+    onehot = (idx == jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)).astype(acc)
+    onehot = onehot * valid.astype(acc)
+    counts_ref[:] += jnp.sum(onehot.astype(jnp.float32), axis=0)[None, :]
     # contract over the batch tile without an explicit transpose
     sums_ref[:] += jax.lax.dot_general(
         onehot,
-        xn,
+        xn.astype(acc) if fast else xn,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
-def fused_assign(xn, emb, valid, tile_b: int = 1024, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret", "fast"))
+def fused_assign(
+    xn, emb, valid, tile_b: int = 4096, interpret: bool = False, fast: bool = False
+):
     """(idx [B] i32, counts [M] f32, sums [M, K] f32) for one branch.
 
-    Matches nearest_codeword + assignment_stats exactly (same expanded-square
-    distances, f32 MXU accumulation).
+    ``fast=False`` matches nearest_codeword + assignment_stats exactly (same
+    expanded-square distances, f32 MXU accumulation); ``fast=True`` streams
+    the distance tile and the one-hot in bf16 like the xla_fast backend.
+    tile_b=4096 amortizes the per-program DMA/setup cost (1024-sized tiles
+    spent most of the 11.5ms/layer on 2688 tiny program launches); VMEM use
+    per program is the [TB, M] distance + one-hot tiles (~2MB each at bf16; the 16MB scoped-VMEM limit rejects 8192).
     """
     B, K = xn.shape
     M = emb.shape[0]
@@ -87,7 +102,7 @@ def fused_assign(xn, emb, valid, tile_b: int = 1024, interpret: bool = False):
 
     grid = (B_pad // tile_b,)
     idx, counts, sums = pl.pallas_call(
-        _assign_kernel,
+        functools.partial(_assign_kernel, fast=fast),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_b, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -110,6 +125,94 @@ def fused_assign(xn, emb, valid, tile_b: int = 1024, interpret: bool = False):
     return idx[:B, 0], counts[0], sums
 
 
-def fused_assign_branches(xn, emb, valid, tile_b: int = 1024, interpret: bool = False):
-    """vmap over the branch axis: xn [nb, B, K], emb [nb, M, K] -> stacked."""
-    return jax.vmap(lambda x, e: fused_assign(x, e, valid, tile_b, interpret))(xn, emb)
+def _assign_kernel_allb(
+    xn_ref, emb_ref, e2_ref, valid_ref, idx_ref, counts_ref, sums_ref, *, fast
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    valid = valid_ref[:]  # [TB, 1] f32
+    nb, _, K = xn_ref.shape
+    M = emb_ref.shape[1]
+    acc = jnp.bfloat16 if fast else jnp.float32
+    vmask = valid.astype(acc)
+    col = None
+    for b in range(nb):
+        xn = xn_ref[b]  # [TB, K]
+        emb = emb_ref[b]  # [M, K]
+        if fast:
+            d = e2_ref[b] - 2.0 * jnp.dot(
+                xn.astype(jnp.bfloat16), emb.T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            d = e2_ref[b] - 2.0 * jnp.dot(
+                xn, emb.T, preferred_element_type=jnp.float32
+            )
+        d_min = jnp.min(d, axis=1, keepdims=True)
+        if col is None:
+            col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        idx = jnp.min(jnp.where(d <= d_min, col, M), axis=1, keepdims=True).astype(
+            jnp.int32
+        )  # [TB, 1]
+        idx_ref[b] = idx
+        onehot = (idx == jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)).astype(acc)
+        onehot = onehot * vmask
+        counts_ref[b] += jnp.sum(onehot.astype(jnp.float32), axis=0)[None, :]
+        sums_ref[b] += jax.lax.dot_general(
+            onehot,
+            xn.astype(acc) if fast else xn,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret", "fast"))
+def fused_assign_branches(
+    xn, emb, valid, tile_b: int = 2048, interpret: bool = False, fast: bool = False
+):
+    """All-branch fused assign: xn [nb, B, K], emb [nb, M, K] ->
+    (idx [nb, B] i32, counts [nb, M] f32, sums [nb, M, K] f32).
+
+    One grid program handles a B tile across ALL branches with an unrolled
+    in-kernel branch loop: a vmap of the single-branch kernel launches
+    nb*B/tile tiny programs whose fixed setup/DMA cost dominates the ~10us
+    of real work each (measured ~10ms/layer at nb=32); this shape does the
+    same work in B/tile programs."""
+    nb, B, K = xn.shape
+    M = emb.shape[1]
+    assert tile_b % 128 == 0
+    B_pad = ((B + tile_b - 1) // tile_b) * tile_b
+    if B_pad != B:
+        xn = jnp.pad(xn, ((0, 0), (0, B_pad - B), (0, 0)))
+        valid = jnp.pad(valid, (0, B_pad - B))
+    v2 = valid.astype(jnp.float32)[:, None]
+    e2 = jnp.sum(emb * emb, axis=2, dtype=jnp.float32)[:, None, :]  # [nb, 1, M]
+
+    grid = (B_pad // tile_b,)
+    idx, counts, sums = pl.pallas_call(
+        functools.partial(_assign_kernel_allb, fast=fast),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, tile_b, K), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, M, K), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, M), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nb, tile_b, 1), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, M), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, M, K), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, B_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, M), jnp.float32),
+            jax.ShapeDtypeStruct((nb, M, K), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xn, emb, e2, v2)
+    return idx[:, :B, 0], counts[:, 0, :], sums
