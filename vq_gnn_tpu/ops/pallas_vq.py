@@ -55,7 +55,10 @@ def _assign_kernel(
             preferred_element_type=jnp.float32,
         )
     else:
-        d = e2_ref[:] - 2.0 * jnp.dot(xn, emb.T, preferred_element_type=jnp.float32)
+        d = e2_ref[:] - 2.0 * jnp.dot(
+            xn, emb.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     # manual first-argmin (min + compare + index-min)
     d_min = jnp.min(d, axis=1, keepdims=True)
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
@@ -135,40 +138,51 @@ def _assign_kernel_allb(
         counts_ref[:] = jnp.zeros_like(counts_ref)
         sums_ref[:] = jnp.zeros_like(sums_ref)
 
-    valid = valid_ref[:]  # [TB, 1] f32
-    nb, _, K = xn_ref.shape
+    valid = valid_ref[:]  # [1, TB] f32
+    nb, K, TB = xn_ref.shape
     M = emb_ref.shape[1]
     acc = jnp.bfloat16 if fast else jnp.float32
-    vmask = valid.astype(acc)
-    col = None
-    for b in range(nb):
-        xn = xn_ref[b]  # [TB, K]
+    vmask = valid.astype(acc)  # [1, TB]
+    row = jax.lax.broadcasted_iota(jnp.int32, (M, TB), 0)
+    ones_col = jnp.ones((TB, 1), jnp.float32)
+
+    # TB rides the 128-lane dimension everywhere (d/one-hot are [M, TB],
+    # idx is [1, TB]): the natural [TB, K]/[TB, 1] layouts pad K=8 and 1 up
+    # to 128 lanes, inflating the VMEM windows 16-128x (measured 134MB ->
+    # rejected).  fori_loop, NOT a Python unroll — unrolled, Mosaic keeps
+    # all nb distance/one-hot intermediates live at once.
+    def body(b, _):
+        xnT = xn_ref[b]  # [K, TB]
         emb = emb_ref[b]  # [M, K]
         if fast:
             d = e2_ref[b] - 2.0 * jnp.dot(
-                xn.astype(jnp.bfloat16), emb.T.astype(jnp.bfloat16),
+                emb.astype(jnp.bfloat16), xnT.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
-            )
+            )  # [M, TB]
         else:
             d = e2_ref[b] - 2.0 * jnp.dot(
-                xn, emb.T, preferred_element_type=jnp.float32
+                emb, xnT, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-        d_min = jnp.min(d, axis=1, keepdims=True)
-        if col is None:
-            col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-        idx = jnp.min(jnp.where(d <= d_min, col, M), axis=1, keepdims=True).astype(
+        d_min = jnp.min(d, axis=0, keepdims=True)  # [1, TB]
+        idx = jnp.min(jnp.where(d <= d_min, row, M), axis=0, keepdims=True).astype(
             jnp.int32
-        )  # [TB, 1]
+        )  # [1, TB]
         idx_ref[b] = idx
-        onehot = (idx == jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)).astype(acc)
+        onehot = (idx == jax.lax.broadcasted_iota(jnp.int32, (M, TB), 0)).astype(acc)
         onehot = onehot * vmask
-        counts_ref[b] += jnp.sum(onehot.astype(jnp.float32), axis=0)[None, :]
+        counts_ref[b] += jnp.dot(
+            onehot.astype(jnp.float32), ones_col, preferred_element_type=jnp.float32
+        )  # [M, 1]
         sums_ref[b] += jax.lax.dot_general(
             onehot,
-            xn.astype(acc) if fast else xn,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            xnT.astype(acc) if fast else xnT,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # [M, K]
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret", "fast"))
@@ -178,11 +192,12 @@ def fused_assign_branches(
     """All-branch fused assign: xn [nb, B, K], emb [nb, M, K] ->
     (idx [nb, B] i32, counts [nb, M] f32, sums [nb, M, K] f32).
 
-    One grid program handles a B tile across ALL branches with an unrolled
-    in-kernel branch loop: a vmap of the single-branch kernel launches
-    nb*B/tile tiny programs whose fixed setup/DMA cost dominates the ~10us
-    of real work each (measured ~10ms/layer at nb=32); this shape does the
-    same work in B/tile programs."""
+    One grid program handles a B tile across ALL branches with an in-kernel
+    fori_loop: a vmap of the single-branch kernel launches nb*B/tile tiny
+    programs whose fixed setup/DMA cost dominates the ~10us of real work
+    each (measured ~10ms/layer at nb=32); this shape does the same work in
+    B/tile programs.  Inputs move through VMEM B-major ([nb, K, TB] /
+    [1, TB] / [M, 1] windows) — see the kernel's layout note."""
     nb, B, K = xn.shape
     M = emb.shape[1]
     assert tile_b % 128 == 0
@@ -190,29 +205,33 @@ def fused_assign_branches(
     if B_pad != B:
         xn = jnp.pad(xn, ((0, 0), (0, B_pad - B), (0, 0)))
         valid = jnp.pad(valid, (0, B_pad - B))
-    v2 = valid.astype(jnp.float32)[:, None]
-    e2 = jnp.sum(emb * emb, axis=2, dtype=jnp.float32)[:, None, :]  # [nb, 1, M]
+    xnT = jnp.swapaxes(xn, 1, 2)  # [nb, K, B_pad]
+    v2 = valid.astype(jnp.float32)[None, :]  # [1, B_pad]
+    e2 = jnp.sum(emb * emb, axis=2, dtype=jnp.float32)[:, :, None]  # [nb, M, 1]
 
     grid = (B_pad // tile_b,)
     idx, counts, sums = pl.pallas_call(
         functools.partial(_assign_kernel_allb, fast=fast),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nb, tile_b, K), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, K, tile_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, M, K), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 1, M), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, M, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((nb, tile_b, 1), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 1, M), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, tile_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, M, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, M, K), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, B_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((nb, 1, M), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, B_pad), jnp.int32),
+            jax.ShapeDtypeStruct((nb, M, 1), jnp.float32),
             jax.ShapeDtypeStruct((nb, M, K), jnp.float32),
         ],
+        # inside a large jitted step the default scoped-VMEM stack is 16MB;
+        # this kernel's windows + per-branch scratch need ~17-32MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(xn, emb, e2, v2)
-    return idx[:, :B, 0], counts[:, 0, :], sums
+    )(xnT, emb, e2, v2)
+    return idx[:, 0, :B], counts[:, :, 0], sums
