@@ -57,7 +57,7 @@ def main():
         warm_up_flag=True,
         skip=True,
         matmul_precision="default",  # bench rides the MXU; VQ ops stay exact
-        vq_backend=os.environ.get("VQ_GNN_BENCH_VQ_BACKEND", "xla_fast"),
+        vq_backend=os.environ.get("VQ_GNN_BENCH_VQ_BACKEND", "pallas_fast"),
         spmm_backend=os.environ.get("VQ_GNN_BENCH_SPMM", "ell"),
         compute_dtype=os.environ.get("VQ_GNN_BENCH_DTYPE", "float32"),
         ell_K=int(os.environ.get("VQ_GNN_BENCH_K", "8")),

@@ -7,6 +7,7 @@ compiles for the MXU.
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -138,3 +139,19 @@ def test_fast_stats_agreement():
     c1, s1 = assignment_stats(xn, idx, 256, valid, fast=True)
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=0.02, atol=0.05)
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_lookup_branches_matches_gather(fast):
+    from vq_gnn_tpu.ops.pallas_vq import lookup_branches
+
+    nb, n, M, K = 3, 300, 16, 8
+    rng = np.random.default_rng(7)
+    c = jnp.asarray(rng.integers(0, M, size=(nb, n)), jnp.int32)
+    emb = jnp.asarray(rng.normal(size=(nb, M, K)), jnp.float32)
+    table = lookup_branches(c, emb, tile_n=128, interpret=True, fast=fast)
+    ref = np.stack(
+        [emb[b][np.asarray(c[b])] for b in range(nb)], axis=1
+    )  # [n, nb, K]
+    tol = 1e-2 if fast else 0.0
+    np.testing.assert_allclose(np.asarray(table), ref, atol=tol, rtol=tol)

@@ -434,14 +434,25 @@ def lookup(state: VQState, node_ids: jnp.ndarray, p: VQParams, stream=None):
     # the same rounding every other default-precision MXU op applies
     # (measured 6.3 -> ~1.5 ms/step at B'=65k, nb=32).
     M = state.embedding_output.shape[1]
-    sdt = jnp.float32 if stream is None else jnp.dtype(stream)
-    onehot = (
-        c[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2)
-    ).astype(sdt)
-    table = jnp.einsum(
-        "bim,bmk->ibk", onehot, state.embedding_output.astype(sdt),
-        preferred_element_type=jnp.float32,
-    )  # [n, nb, K]
+    if p.backend in ("pallas", "pallas_fast"):
+        from vq_gnn_tpu.ops.pallas_vq import lookup_branches
+
+        # the one-hot never leaves VMEM (vs ~2GB/layer HBM for the XLA
+        # lowering at n=65k); exact mode is bit-identical to a row gather
+        table = lookup_branches(
+            c, state.embedding_output,
+            interpret=jax.default_backend() == "cpu",
+            fast=p.backend == "pallas_fast" or stream is not None,
+        )  # [n, nb, K]
+    else:
+        sdt = jnp.float32 if stream is None else jnp.dtype(stream)
+        onehot = (
+            c[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2)
+        ).astype(sdt)
+        table = jnp.einsum(
+            "bim,bmk->ibk", onehot, state.embedding_output.astype(sdt),
+            preferred_element_type=jnp.float32,
+        )  # [n, nb, K]
     n, nb, _ = table.shape
     feats = table[:, :, : p.num_D].reshape(n, nb * p.num_D)
     grads = table[:, :, p.num_D :].reshape(n, nb * p.grad_dim)

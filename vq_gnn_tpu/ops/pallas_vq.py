@@ -235,3 +235,70 @@ def fused_assign_branches(
         interpret=interpret,
     )(xnT, emb, e2, v2)
     return idx[:, 0, :B], counts[:, :, 0], sums
+
+
+def _lookup_kernel(c_ref, emb_ref, out_ref, *, fast):
+    # c_ref [nb, 1, TN] i32; emb_ref [nb, M, K]; out_ref [nb, K, TN]
+    nb, M, K = emb_ref.shape
+    TN = c_ref.shape[2]
+    acc = jnp.bfloat16 if fast else jnp.float32
+    row = jax.lax.broadcasted_iota(jnp.int32, (M, TN), 0)
+
+    def body(b, _):
+        onehot = (c_ref[b] == row).astype(acc)  # [M, TN]; stays in VMEM
+        emb = emb_ref[b]  # [M, K]
+        if fast:
+            out_ref[b] = jax.lax.dot_general(
+                emb.astype(jnp.bfloat16), onehot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [K, TN]
+        else:
+            out_ref[b] = jax.lax.dot_general(
+                emb, onehot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "fast"))
+def lookup_branches(
+    c, emb_out, tile_n: int = 2048, interpret: bool = False, fast: bool = False
+):
+    """All-branch codebook row lookup: c [nb, n] i32, emb_out [nb, M, K] ->
+    table [n, nb, K] f32 (``vq.lookup``'s einsum, ``vq.py v2:168-173``).
+
+    The XLA one-hot GEMM materializes the [nb, n, M] one-hot in HBM (~2GB at
+    n=65k, M=256 — the single hottest dot_general in the profiled GCN step);
+    here the one-hot lives and dies in VMEM, so HBM traffic is just the
+    indices in and the [nb, K, n] table out.  ``fast`` selects codeword
+    values at bf16 (same rounding as the bf16-streamed XLA path); exact mode
+    is bit-identical to a row gather."""
+    nb, n = c.shape
+    M, K = emb_out.shape[1], emb_out.shape[2]
+    assert tile_n % 128 == 0
+    n_pad = ((n + tile_n - 1) // tile_n) * tile_n
+    if n_pad != n:
+        c = jnp.pad(c, ((0, 0), (0, n_pad - n)))
+    c3 = c[:, None, :]  # [nb, 1, n_pad]
+
+    grid = (n_pad // tile_n,)
+    out = pl.pallas_call(
+        functools.partial(_lookup_kernel, fast=fast),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, 1, tile_n), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, M, K), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nb, K, tile_n), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, K, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(c3, emb_out)
+    return jnp.transpose(out[:, :, :n], (2, 0, 1))  # [n, nb, K]
