@@ -133,7 +133,7 @@ def gat_conv_ell(edges, x, att_l, att_r, scale):
     ar) and sorted segment-sums; d_att and the logit terms of d_x reduce to
     dense matmuls with the per-node d_a sums.  No scatters anywhere.
     """
-    agg, rowsum, _, _ = _gat_conv_fwd_impl(edges, x, att_l, att_r, scale)
+    agg, rowsum, _, _, _ = _gat_conv_fwd_impl(edges, x, att_l, att_r, scale)
     return agg, rowsum
 
 
@@ -149,41 +149,68 @@ def _gat_conv_fwd_impl(edges, x, att_l, att_r, scale):
         + att_l[C]
     ) / scale
     ar_node = (x @ att_r[:C].astype(x.dtype) + att_r[C]) / scale  # [R(+pad)]
-    a = al_cols + jnp.take(ar_node, edges.ell_row, mode="clip")[:, None]
+    # [R, 1]-source row gather: a 1-D element gather of ar_node runs ~4x
+    # slower on TPU (row-count equal, but element gathers don't stream)
+    ar_rows = jnp.take(ar_node[:, None], edges.ell_row, axis=0, mode="clip")
+    a = al_cols + ar_rows
     ev = jnp.exp(jax.nn.leaky_relu(a, NEGATIVE_SLOPE)) * edges.ell_val
-    part = jnp.einsum("sk,skc->sc", ev, nbrs, preferred_element_type=jnp.float32)
+    # the (a<=0)-masked aggregates (aggn, rsn) give the backward a CLOSED
+    # FORM for d_ar: sum_cells(r) ev*lslope*(<g_agg[r], x[c]> + g_rs[r]) =
+    # <g_agg, agg> + g_rs*rowsum - (1-slope)*(<g_agg, aggn> + g_rs*rsn) —
+    # all row-local dots, replacing a per-cell forward-layout recompute
+    # (neighbor re-gather + SDDMM, ~19ms/step) or an unsorted scalar
+    # scatter (~43ms/step).  The stacked einsum reads nbrs once.
+    evn = ev * (a <= 0)
+    parts = (
+        jnp.einsum("sk,skc->sc", ev, nbrs, preferred_element_type=jnp.float32),
+        jnp.einsum("sk,skc->sc", evn, nbrs, preferred_element_type=jnp.float32),
+    )  # XLA fuses both into one nbrs pass; a stacked tsk,skc->tsc einsum
+    # lowers to convolution+transpose (~+7ms/step)
     from vq_gnn_tpu.ops.spmm import pallas_segsum_ok
 
     if pallas_segsum_ok(edges.dense_rows, C):
-        # one windowed pass produces the aggregate AND the ones-column
-        # normalizer (fused scalar channel) — no scatter-adds at all
+        # windowed passes produce the aggregates AND the ones-column
+        # normalizers (fused scalar channels) — no scatter-adds at all.
+        # (Two C-wide calls: a single 2C=512-wide window trips a Mosaic
+        # dim-0 tiling-divisibility proof failure.)
         from vq_gnn_tpu.ops.pallas_segsum import segment_sum_sorted
 
         agg, rowsum = segment_sum_sorted(
-            part, edges.ell_row, R, scalar_partials=jnp.sum(ev, axis=1)
+            parts[0], edges.ell_row, R, scalar_partials=jnp.sum(ev, axis=1)
         )
         rowsum = rowsum[:, None]
+        aggn, rsn = segment_sum_sorted(
+            parts[1], edges.ell_row, R, scalar_partials=jnp.sum(evn, axis=1)
+        )
     else:
         agg = jax.ops.segment_sum(
-            part, edges.ell_row, num_segments=R + 1, indices_are_sorted=True
+            parts[0], edges.ell_row, num_segments=R + 1, indices_are_sorted=True
         )[:R]
         rowsum = jax.ops.segment_sum(
             jnp.sum(ev, axis=1), edges.ell_row, num_segments=R + 1,
             indices_are_sorted=True,
         )[:R][:, None]
-    return agg, rowsum, a, ar_node
+        aggn = jax.ops.segment_sum(
+            parts[1], edges.ell_row, num_segments=R + 1, indices_are_sorted=True
+        )[:R]
+        rsn = jax.ops.segment_sum(
+            jnp.sum(evn, axis=1), edges.ell_row, num_segments=R + 1,
+            indices_are_sorted=True,
+        )[:R]
+    return agg, rowsum, aggn, rsn, ar_node
 
 
 def _gat_conv_vjp_fwd(edges, x, att_l, att_r, scale):
-    agg, rowsum, a, ar_node = _gat_conv_fwd_impl(edges, x, att_l, att_r, scale)
-    # residuals: a [S, K] and ar_node [R] are ~2% of the gathered-neighbor
-    # traffic; saving them spares the backward the whole logit recompute
-    # (one [S,K,C]-read einsum + gathers)
-    return (agg, rowsum), (edges, x, att_l, att_r, scale, a, ar_node)
+    agg, rowsum, aggn, rsn, ar_node = _gat_conv_fwd_impl(
+        edges, x, att_l, att_r, scale
+    )
+    return (agg, rowsum), (
+        edges, x, att_l, att_r, scale, agg, rowsum, aggn, rsn, ar_node
+    )
 
 
 def _gat_conv_vjp_bwd(res, g):
-    edges, x, att_l, att_r, scale, a, ar_node = res
+    edges, x, att_l, att_r, scale, agg, rowsum, aggn, rsn, ar_node = res
     g_agg, g_rowsum = g
     C = x.shape[1]
     R = edges.num_rows
@@ -191,63 +218,42 @@ def _gat_conv_vjp_bwd(res, g):
     g_agg_s = g_agg.astype(gs)
     attl_v = att_l[:C].astype(gs)
     attr_v = att_r[:C].astype(gs)
-
-    # ---- forward layout: d_a per cell -> d_ar (rows are sorted) ----
-    nbrs = jnp.take(x, edges.ell_col.reshape(-1), axis=0, mode="clip").reshape(
-        edges.ell_col.shape + (C,)
-    )
-    lslope = jnp.where(a > 0, 1.0, NEGATIVE_SLOPE)
-    ev = jnp.exp(jax.nn.leaky_relu(a, NEGATIVE_SLOPE)) * edges.ell_val
-    g_rows = jnp.take(g_agg_s, edges.ell_row, axis=0, mode="clip")  # [S, C]
-    g_rs_rows = jnp.take(g_rowsum[:, 0], edges.ell_row, mode="clip")  # [S]
-    g_ev = (
-        jnp.einsum("sc,skc->sk", g_rows, nbrs, preferred_element_type=jnp.float32)
-        + g_rs_rows[:, None]
-    )
-    d_a = g_ev * ev * lslope  # [S, K]; padding cells have ev = 0
     from vq_gnn_tpu.ops.spmm import pallas_segsum_ok
 
     use_pallas = pallas_segsum_ok(edges.dense_rows, C)
-    if use_pallas:
-        from vq_gnn_tpu.ops.pallas_segsum import segment_sum_sorted
 
-        d_ar_node = segment_sum_sorted(
-            None, edges.ell_row, R, scalar_partials=jnp.sum(d_a, axis=1)
-        )
-    else:
-        d_ar_node = jax.ops.segment_sum(
-            jnp.sum(d_a, axis=1), edges.ell_row, num_segments=R + 1,
-            indices_are_sorted=True,
-        )[:R]
-    d_scale = -jnp.sum(d_a * a) / scale
+    # the WHOLE backward works in the transposed layout: every per-cell
+    # quantity (a_t, ev_t, d_a_t) is recomputed there from one fused row
+    # gather, and the forward-layout reductions (d_ar, d_scale) reuse d_a_t
+    # via the f_from_t permutation — a [S*K] flat gather is ~10x cheaper
+    # than the [S*K, C] neighbor re-gather + SDDMM einsum the forward-layout
+    # recompute needed (measured ~19ms/step at S*K=2.1M, C=256)
 
     # ---- transposed layout: d x and d_al (cols are the sorted axis) ----
     St, Kt = edges.t_ell_col.shape
-    # the rowsum-cotangent and ar columns ride along in TWO half-width
-    # gathers instead of one (C+2)-wide one: a gather source wider than 128
-    # lanes (> ~77MB here) exceeds XLA's alternate-memory (VMEM) promotion
-    # budget and the gather drops to random-HBM speed (27.7ms vs 3.85ms
-    # measured); each [R, C/2+1] source tile-pads to 128 lanes and stays
-    # promotable
-    C1 = C // 2
+    # the rowsum-cotangent and ar ride along in a 128-aligned split: a
+    # [*, :128] chunk (tiles exactly) plus a [*, 128: ‖ rs ‖ ar] chunk.
+    # Measured at St*K=2.1M, C=256: 2x 129-wide gathers (each pads to 256
+    # lanes) 38.6ms; single 258-wide (pads to 384) ~29ms; this split 23ms.
+    C1 = min(128, C)
     idx_t = edges.t_ell_col.reshape(-1)
-    g_lo = jnp.concatenate([g_agg_s[:, :C1], g_rowsum.astype(gs)], axis=1)
+    g_lo = g_agg_s[:, :C1]
     g_hi = jnp.concatenate(
-        [g_agg_s[:, C1:], ar_node[:, None].astype(gs)], axis=1
+        [g_agg_s[:, C1:], g_rowsum.astype(gs), ar_node[:, None].astype(gs)],
+        axis=1,
     )
-    # optimization_barrier: each gather output feeds 3 consumers (two einsums
-    # + the scalar-column slice); without the barrier XLA re-materializes the
-    # 554MB gather once per consumer (measured 5 gathers/layer instead of 2)
+    # optimization_barrier: each gather output feeds multiple consumers;
+    # without the barrier XLA re-materializes the gather once per consumer
     gl, gh = jax.lax.optimization_barrier(
         (
-            jnp.take(g_lo, idx_t, axis=0, mode="clip"),  # [St*K, C1+1]
-            jnp.take(g_hi, idx_t, axis=0, mode="clip"),  # [St*K, C-C1+1]
+            jnp.take(g_lo, idx_t, axis=0, mode="clip"),  # [St*K, C1]
+            jnp.take(g_hi, idx_t, axis=0, mode="clip"),  # [St*K, C-C1+2]
         )
     )
-    g_t_lo = gl[:, :C1].reshape(St, Kt, C1)
+    g_t_lo = gl.reshape(St, Kt, C1)
     g_t_hi = gh[:, : C - C1].reshape(St, Kt, C - C1)
-    g_rs_t = gl[:, C1].reshape(St, Kt).astype(jnp.float32)
-    ar_t = gh[:, C - C1].reshape(St, Kt).astype(jnp.float32)
+    g_rs_t = gh[:, C - C1].reshape(St, Kt).astype(jnp.float32)
+    ar_t = gh[:, C - C1 + 1].reshape(St, Kt).astype(jnp.float32)
     x_rows_t = jnp.take(x, edges.t_ell_row, axis=0, mode="clip")  # [St, C]
     al_t = (
         x_rows_t @ attl_v + jnp.asarray(att_l[C], jnp.float32)
@@ -267,7 +273,10 @@ def _gat_conv_vjp_bwd(res, g):
         + g_rs_t
     )
     d_a_t = g_ev_t * ev_t * jnp.where(a_t > 0, 1.0, NEGATIVE_SLOPE)
+    d_scale = -jnp.sum(d_a_t * a_t) / scale  # padding cells have ev_t = 0
     if use_pallas:
+        from vq_gnn_tpu.ops.pallas_segsum import segment_sum_sorted
+
         # dx and d_al share the transposed segment ids: one fused pass
         dx_agg, d_al_node = segment_sum_sorted(
             dx_part, edges.t_ell_row, R, scalar_partials=jnp.sum(d_a_t, axis=1)
@@ -280,6 +289,18 @@ def _gat_conv_vjp_bwd(res, g):
             jnp.sum(d_a_t, axis=1), edges.t_ell_row, num_segments=R + 1,
             indices_are_sorted=True,
         )[:R]
+
+    # ---- d_ar: closed form from row-local forward aggregates ----
+    # (see the forward's aggn/rsn comment; no gather or scatter at all)
+    g_af = g_agg.astype(jnp.float32)
+    g_rsf = g_rowsum[:, 0].astype(jnp.float32)
+    base = jnp.einsum(
+        "rc,rc->r", g_af, agg, preferred_element_type=jnp.float32
+    ) + g_rsf * rowsum[:, 0]
+    negp = jnp.einsum(
+        "rc,rc->r", g_af, aggn, preferred_element_type=jnp.float32
+    ) + g_rsf * rsn
+    d_ar_node = base - (1.0 - NEGATIVE_SLOPE) * negp
 
     # ---- assemble ----
     xf = x.astype(jnp.float32)

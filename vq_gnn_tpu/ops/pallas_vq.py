@@ -187,7 +187,7 @@ def _assign_kernel_allb(
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret", "fast"))
 def fused_assign_branches(
-    xn, emb, valid, tile_b: int = 2048, interpret: bool = False, fast: bool = False
+    xn, emb, valid, tile_b: int = 4096, interpret: bool = False, fast: bool = False
 ):
     """All-branch fused assign: xn [nb, B, K], emb [nb, M, K] ->
     (idx [nb, B] i32, counts [nb, M] f32, sums [nb, M, K] f32).
