@@ -187,7 +187,7 @@ def _assign_kernel_allb(
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret", "fast"))
 def fused_assign_branches(
-    xn, emb, valid, tile_b: int = 4096, interpret: bool = False, fast: bool = False
+    xn, emb, valid, tile_b: int = 0, interpret: bool = False, fast: bool = False
 ):
     """All-branch fused assign: xn [nb, B, K], emb [nb, M, K] ->
     (idx [nb, B] i32, counts [nb, M] f32, sums [nb, M, K] f32).
@@ -200,6 +200,11 @@ def fused_assign_branches(
     [1, TB] / [M, 1] windows) — see the kernel's layout note."""
     nb, B, K = xn.shape
     M = emb.shape[1]
+    if tile_b == 0:
+        # keep the per-branch [M, TB] distance/one-hot scratch ~4MB so the
+        # whole kernel stays inside the 64MB scoped-VMEM stack (M=1024 at
+        # TB=4096 needs 73MB and is rejected)
+        tile_b = max(512, min(4096, (1 << 20) // M // 512 * 512))
     assert tile_b % 128 == 0
     B_pad = ((B + tile_b - 1) // tile_b) * tile_b
     if B_pad != B:
