@@ -250,10 +250,18 @@ def _gat_conv_vjp_bwd(res, g):
             jnp.take(g_hi, idx_t, axis=0, mode="clip"),  # [St*K, C-C1+2]
         )
     )
+    W = C - C1 + 2  # hi chunk width incl. the rs/ar ride-along lanes
     g_t_lo = gl.reshape(St, Kt, C1)
-    g_t_hi = gh[:, : C - C1].reshape(St, Kt, C - C1)
-    g_rs_t = gh[:, C - C1].reshape(St, Kt).astype(jnp.float32)
-    ar_t = gh[:, C - C1 + 1].reshape(St, Kt).astype(jnp.float32)
+    gh3 = gh.reshape(St, Kt, W)
+    # NO single-lane slices of gh: slicing lane C-C1 / C-C1+1 out of the
+    # lane-tiled gather output re-reads the full 2.2GB tile row per slice
+    # (measured 8.8ms/step).  ar_t comes from a basis-vector einsum and the
+    # rs term rides the hi einsum via a ones-column in x_hi_pad — both fuse
+    # into the existing gh3 read.
+    e_ar = jnp.zeros((W,), jnp.float32).at[W - 1].set(1.0)
+    ar_t = jnp.einsum(
+        "skc,c->sk", gh3, e_ar.astype(gs), preferred_element_type=jnp.float32
+    )
     x_rows_t = jnp.take(x, edges.t_ell_row, axis=0, mode="clip")  # [St, C]
     al_t = (
         x_rows_t @ attl_v + jnp.asarray(att_l[C], jnp.float32)
@@ -263,14 +271,23 @@ def _gat_conv_vjp_bwd(res, g):
     dx_part = jnp.concatenate(
         [
             jnp.einsum("sk,skc->sc", ev_t, g_t_lo, preferred_element_type=jnp.float32),
-            jnp.einsum("sk,skc->sc", ev_t, g_t_hi, preferred_element_type=jnp.float32),
+            jnp.einsum(
+                "sk,skc->sc", ev_t, gh3, preferred_element_type=jnp.float32
+            )[:, : C - C1],
+        ],
+        axis=1,
+    )
+    x_hi_pad = jnp.concatenate(
+        [
+            x_rows_t[:, C1:],
+            jnp.ones((St, 1), gs),  # picks up the rs lane: + g_rs_t
+            jnp.zeros((St, 1), gs),  # zeroes the ar lane
         ],
         axis=1,
     )
     g_ev_t = (
         jnp.einsum("skc,sc->sk", g_t_lo, x_rows_t[:, :C1], preferred_element_type=jnp.float32)
-        + jnp.einsum("skc,sc->sk", g_t_hi, x_rows_t[:, C1:], preferred_element_type=jnp.float32)
-        + g_rs_t
+        + jnp.einsum("skc,sc->sk", gh3, x_hi_pad, preferred_element_type=jnp.float32)
     )
     d_a_t = g_ev_t * ev_t * jnp.where(a_t > 0, 1.0, NEGATIVE_SLOPE)
     d_scale = -jnp.sum(d_a_t * a_t) / scale  # padding cells have ev_t = 0
