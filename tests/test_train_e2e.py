@@ -145,3 +145,26 @@ def test_single_layer_model():
     tr.run_init_sweep()
     loss, _ = tr.train_epoch(1)
     assert np.isfinite(loss)
+
+
+def test_pallas_vq_backend_matches_xla_e2e():
+    """Full live-VQ training path with the Pallas fused assign + in-VMEM
+    lookup == the XLA backend: same c_indices, near-identical losses and
+    codebooks after an epoch.  (Exact modes share the expanded-square
+    distance and HIGHEST-precision matmuls; only the f32 accumulation
+    order of the cluster sums differs.)"""
+    losses, embs, cidx = {}, {}, {}
+    for backend in ("xla", "pallas"):
+        cfg = Config(
+            conv_type="GCN", vq_update_mode="live", vq_backend=backend, **BASE
+        )
+        tr = build(cfg)
+        tr.run_init_sweep()
+        losses[backend], _ = tr.train_epoch(1)
+        embs[backend] = [np.asarray(s.embedding) for s in tr.state.vq_states]
+        cidx[backend] = [np.asarray(s.c_indices) for s in tr.state.vq_states]
+    np.testing.assert_allclose(losses["xla"], losses["pallas"], rtol=1e-5)
+    for a, b in zip(cidx["xla"], cidx["pallas"]):
+        assert (a == b).mean() > 0.999, "assignments diverged"
+    for a, b in zip(embs["xla"], embs["pallas"]):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
