@@ -271,3 +271,29 @@ def test_gat_conv_ell_matches_unfused():
     g_u = jax.grad(loss(unfused), argnums=(0, 1, 2, 3))(x, att_l, att_r, scale)
     for a, b in zip(g_f, g_u):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_spmm_backward_truncation():
+    """With b_rows/t_b_slots set, the VJP equals the full VJP on rows
+    < b_rows and is exactly zero above (the bbprime dead-cotangent
+    contract); forward unchanged."""
+    rng = np.random.RandomState(5)
+    n, nnz, c, b_rows = 40, 200, 8, 24
+    row, col, val = random_coo(rng, n, n, nnz)
+    e = make_ell_edges(row, col, val, n, K=4, S_pad=96, St_pad=96)
+    x = jnp.asarray(rng.randn(n, c).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, c).astype(np.float32))
+
+    tb = int((np.asarray(e.t_ell_row) < b_rows).sum())
+    tb = (tb + 7) // 8 * 8
+    et = e.replace(b_rows=b_rows, t_b_slots=tb)
+
+    out_full, vjp_full = jax.vjp(lambda x_: spmm(e, x_), x)
+    out_trunc, vjp_trunc = jax.vjp(lambda x_: spmm(et, x_), x)
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(out_trunc))
+    (dx_f,) = vjp_full(g)
+    (dx_t,) = vjp_trunc(g)
+    np.testing.assert_allclose(
+        np.asarray(dx_t[:b_rows]), np.asarray(dx_f[:b_rows]), rtol=1e-6, atol=1e-6
+    )
+    assert np.all(np.asarray(dx_t[b_rows:]) == 0.0)

@@ -70,6 +70,16 @@ class Edges(struct.PyTreeNode):
     # >= 1 slot (empty rows get a zero-valued dustbin-col slot).  Gap-free
     # sorted rows let aggregates use the windowed Pallas segment-sum.
     dense_rows: bool = struct.field(pytree_node=False, default=False)
+    # Backward truncation contract (set by the bbprime batch builder): x
+    # rows >= b_rows are codebook lookups whose cotangent has no consumer,
+    # so the spmm VJP only materializes dx for rows < b_rows and returns
+    # zeros above.  t_b_slots is a static bound (>= actual, bucket-
+    # quantized) on the prefix of the row-ascending transposed ELL whose
+    # rows are < b_rows; slots beyond it are skipped entirely — measured
+    # 47.5% of transposed slots on the cluster-sampled arxiv workload.
+    # 0/0 = disabled (exact full VJP, the default for hand-built Edges).
+    b_rows: int = struct.field(pytree_node=False, default=0)
+    t_b_slots: int = struct.field(pytree_node=False, default=0)
 
 
 def _segment_matvec(row, col, val, x, num_rows, sorted_rows):
@@ -158,10 +168,25 @@ def _spmm_bwd(res, g):
         # stream the cotangent at the forward's compute dtype (bf16 halves
         # the backward gather traffic too); accumulation stays f32
         g_s = g.astype(x.dtype) if x.dtype != g.dtype else g
-        dx = _ell_matvec(
-            edges.t_ell_row, edges.t_ell_col, edges.t_ell_val, g_s, num_cols,
-            edges.dense_rows,
-        ).astype(x.dtype)
+        tb = edges.t_b_slots
+        if edges.b_rows and tb and tb < edges.t_ell_row.shape[0]:
+            # rows are ascending, so the < b_rows slots are a prefix; the
+            # few ride-over slots inside the bound clamp to the b_rows
+            # dustbin (their dx lands in the sliced-off segment)
+            t_row = jnp.minimum(edges.t_ell_row[:tb], edges.b_rows)
+            dx_b = _ell_matvec(
+                t_row, edges.t_ell_col[:tb], edges.t_ell_val[:tb], g_s,
+                edges.b_rows, edges.dense_rows,
+            )
+            dx = jnp.concatenate(
+                [dx_b, jnp.zeros((num_cols - edges.b_rows, dx_b.shape[1]),
+                                 dx_b.dtype)]
+            ).astype(x.dtype)
+        else:
+            dx = _ell_matvec(
+                edges.t_ell_row, edges.t_ell_col, edges.t_ell_val, g_s,
+                num_cols, edges.dense_rows,
+            ).astype(x.dtype)
         dval_ell = _ell_sddmm(edges.ell_row, edges.ell_col, g_s, x).astype(
             edges.ell_val.dtype
         )

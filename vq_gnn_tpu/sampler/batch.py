@@ -84,6 +84,7 @@ def build_padded_batch(
     St_pad: int = 0,
     bm_rev=None,
     R_pad: int = 0,
+    t_b_bucket: Optional[dict] = None,
 ) -> PaddedBatch:
     """Pad a host-built subgraph batch to static shapes.
 
@@ -145,6 +146,17 @@ def build_padded_batch(
             num_rows=dim_pad,
             dense_rows=True,  # build_ell_host gives every row >= 1 slot
         )
+        if t_b_bucket is not None:
+            # backward-truncation bound: x rows >= B_pad are codebook
+            # lookups with dead cotangents (see Edges.b_rows); the bound is
+            # a monotone bucket so static shapes stay stable across batches
+            ms = max(t_b_bucket.get("multiple", 2048), 64)
+            tb = int((np.asarray(tr_) < B_pad).sum())
+            tb = ((tb + ms - 1) // ms) * ms
+            t_b_bucket["v"] = max(t_b_bucket.get("v", 0), tb)
+            tb = min(t_b_bucket["v"], St_pad)
+            if tb < St_pad:
+                edges = edges.replace(b_rows=B_pad, t_b_slots=tb)
     else:
         row = np.full(E_pad, dim_pad, np.int32)
         col = np.full(E_pad, dim_pad, np.int32)

@@ -397,6 +397,19 @@ class BatchLoader:
             n_link = int(((er < len(node_idx)) & (ec < len(node_idx))).sum())
             self._L_bucket = max(self._L_bucket, round_up(max(n_link, 1), 1024))
             L_pad = self._L_bucket
+        if not hasattr(self, "_tb_bucket"):
+            self._tb_bucket = {
+                "multiple": max(self.cfg.pad_multiple_edges // max(self.cfg.ell_K, 1), 64)
+            }
+        # backward truncation only holds for the bbprime model contract
+        # (x rows >= B_pad are codebook lookups); bm codeword rows and
+        # multi-host fixed-pad runs keep the exact full VJP
+        use_tb = (
+            self.cfg.formulation == "bbprime"
+            and self.cfg.spmm_backend == "ell"
+            and not self.cfg.fixed_B_pad
+            and self.train_flag
+        )
         return build_padded_batch(
             node_idx,
             fo_ids,
@@ -417,6 +430,7 @@ class BatchLoader:
             St_pad=St_pad,
             bm_rev=rev,
             R_pad=self._rev_pad(rev),
+            t_b_bucket=self._tb_bucket if use_tb else None,
         )
 
     def _rev_pad(self, rev):
