@@ -133,11 +133,13 @@ def gat_conv_ell(edges, x, att_l, att_r, scale):
     ar) and sorted segment-sums; d_att and the logit terms of d_x reduce to
     dense matmuls with the per-node d_a sums.  No scatters anywhere.
     """
-    agg, rowsum, _, _, _ = _gat_conv_fwd_impl(edges, x, att_l, att_r, scale)
+    agg, rowsum, _, _, _ = _gat_conv_fwd_impl(
+        edges, x, att_l, att_r, scale, with_neg=False
+    )
     return agg, rowsum
 
 
-def _gat_conv_fwd_impl(edges, x, att_l, att_r, scale):
+def _gat_conv_fwd_impl(edges, x, att_l, att_r, scale, with_neg=True):
     C = x.shape[1]
     R = edges.num_rows
     nbrs = jnp.take(x, edges.ell_col.reshape(-1), axis=0, mode="clip").reshape(
@@ -160,12 +162,18 @@ def _gat_conv_fwd_impl(edges, x, att_l, att_r, scale):
     # all row-local dots, replacing a per-cell forward-layout recompute
     # (neighbor re-gather + SDDMM, ~19ms/step) or an unsorted scalar
     # scatter (~43ms/step).  The stacked einsum reads nbrs once.
-    evn = ev * (a <= 0)
-    parts = (
+    # with_neg=False (the no-grad/eval primal) skips the backward-only
+    # masked channel instead of trusting DCE through the pallas segsum
+    evn = ev * (a <= 0) if with_neg else None
+    parts = [
         jnp.einsum("sk,skc->sc", ev, nbrs, preferred_element_type=jnp.float32),
-        jnp.einsum("sk,skc->sc", evn, nbrs, preferred_element_type=jnp.float32),
-    )  # XLA fuses both into one nbrs pass; a stacked tsk,skc->tsc einsum
-    # lowers to convolution+transpose (~+7ms/step)
+    ]
+    if with_neg:
+        # XLA fuses both into one nbrs pass; a stacked tsk,skc->tsc einsum
+        # lowers to convolution+transpose (~+7ms/step)
+        parts.append(
+            jnp.einsum("sk,skc->sc", evn, nbrs, preferred_element_type=jnp.float32)
+        )
     from vq_gnn_tpu.ops.spmm import pallas_segsum_ok
 
     if pallas_segsum_ok(edges.dense_rows, C):
@@ -179,9 +187,11 @@ def _gat_conv_fwd_impl(edges, x, att_l, att_r, scale):
             parts[0], edges.ell_row, R, scalar_partials=jnp.sum(ev, axis=1)
         )
         rowsum = rowsum[:, None]
-        aggn, rsn = segment_sum_sorted(
-            parts[1], edges.ell_row, R, scalar_partials=jnp.sum(evn, axis=1)
-        )
+        aggn = rsn = None
+        if with_neg:
+            aggn, rsn = segment_sum_sorted(
+                parts[1], edges.ell_row, R, scalar_partials=jnp.sum(evn, axis=1)
+            )
     else:
         agg = jax.ops.segment_sum(
             parts[0], edges.ell_row, num_segments=R + 1, indices_are_sorted=True
@@ -190,13 +200,16 @@ def _gat_conv_fwd_impl(edges, x, att_l, att_r, scale):
             jnp.sum(ev, axis=1), edges.ell_row, num_segments=R + 1,
             indices_are_sorted=True,
         )[:R][:, None]
-        aggn = jax.ops.segment_sum(
-            parts[1], edges.ell_row, num_segments=R + 1, indices_are_sorted=True
-        )[:R]
-        rsn = jax.ops.segment_sum(
-            jnp.sum(evn, axis=1), edges.ell_row, num_segments=R + 1,
-            indices_are_sorted=True,
-        )[:R]
+        aggn = rsn = None
+        if with_neg:
+            aggn = jax.ops.segment_sum(
+                parts[1], edges.ell_row, num_segments=R + 1,
+                indices_are_sorted=True,
+            )[:R]
+            rsn = jax.ops.segment_sum(
+                jnp.sum(evn, axis=1), edges.ell_row, num_segments=R + 1,
+                indices_are_sorted=True,
+            )[:R]
     return agg, rowsum, aggn, rsn, ar_node
 
 

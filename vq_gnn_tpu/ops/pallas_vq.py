@@ -142,9 +142,13 @@ def _assign_kernel_allb(
     nb, K, TB = xn_ref.shape
     M = emb_ref.shape[1]
     acc = jnp.bfloat16 if fast else jnp.float32
-    vmask = valid.astype(acc)  # [1, TB]
     row = jax.lax.broadcasted_iota(jnp.int32, (M, TB), 0)
     ones_col = jnp.ones((TB, 1), jnp.float32)
+    # the validity mask redirects invalid lanes to the out-of-range index M
+    # BEFORE the one-hot (a [1, TB] select), so their one-hot column is all
+    # zero — instead of an [M, TB] mask multiply (a full VPU pass/branch)
+    idx_dustbin = jnp.full((1, TB), M, jnp.int32)
+    vmask_row = valid > 0.0  # [1, TB]
 
     # TB rides the 128-lane dimension everywhere (d/one-hot are [M, TB],
     # idx is [1, TB]): the natural [TB, K]/[TB, 1] layouts pad K=8 and 1 up
@@ -169,8 +173,8 @@ def _assign_kernel_allb(
             jnp.int32
         )  # [1, TB]
         idx_ref[b] = idx
-        onehot = (idx == jax.lax.broadcasted_iota(jnp.int32, (M, TB), 0)).astype(acc)
-        onehot = onehot * vmask
+        idx_s = jnp.where(vmask_row, idx, idx_dustbin)  # [1, TB]
+        onehot = (idx_s == row).astype(acc)
         counts_ref[b] += jnp.dot(
             onehot.astype(jnp.float32), ones_col, preferred_element_type=jnp.float32
         )  # [M, 1]
