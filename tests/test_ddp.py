@@ -74,12 +74,13 @@ def test_ddp_step_runs_and_updates_both_shards():
     # both shards' nodes got fresh assignments
     for l, s in enumerate(state2.vq_states):
         c1 = np.asarray(s.c_indices)
+        assert c1.shape == c0[l].shape
         for h, b in enumerate(batches):
             ids = np.asarray(b.batch_idx)[: int(b.num_B)]
             # at least some assignments for each shard's nodes changed
-            changed = (c1[:, ids] != c0[l][:, ids]).any()
-            seen_nodes = True
-        assert c1.shape == c0[l].shape
+            assert (c1[:, ids] != c0[l][:, ids]).any(), (
+                f"layer {l}: shard {h} nodes kept their initial assignments"
+            )
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")

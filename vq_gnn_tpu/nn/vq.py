@@ -438,7 +438,10 @@ def lookup(state: VQState, node_ids: jnp.ndarray, p: VQParams, stream=None):
         from vq_gnn_tpu.ops.pallas_vq import lookup_branches
 
         # the one-hot never leaves VMEM (vs ~2GB/layer HBM for the XLA
-        # lowering at n=65k); exact mode is bit-identical to a row gather
+        # lowering at n=65k); exact mode is bit-identical to a row gather.
+        # NOTE: bf16 compute (stream is not None) forces fast=True even on
+        # the exact 'pallas' backend — mirrors the xla bf16 stream, but the
+        # bit-identical-gather guarantee only holds under f32 compute.
         table = lookup_branches(
             c, state.embedding_output,
             interpret=jax.default_backend() == "cpu",

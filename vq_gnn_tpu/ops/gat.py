@@ -322,6 +322,11 @@ def _gat_conv_vjp_bwd(res, g):
 
     # ---- d_ar: closed form from row-local forward aggregates ----
     # (see the forward's aggn/rsn comment; no gather or scatter at all)
+    # Precision note: d_ar = base - (1-slope)*negp cancels almost exactly
+    # when nearly all of a row's logits are <= 0 (both dots then agree up
+    # to the leaky slope), degrading relative accuracy vs the per-cell
+    # summation it replaced.  Random-data parity holds at rtol 2e-4; only
+    # adversarial all-negative-logit rows sit in the cancellation regime.
     g_af = g_agg.astype(jnp.float32)
     g_rsf = g_rowsum[:, 0].astype(jnp.float32)
     base = jnp.einsum(

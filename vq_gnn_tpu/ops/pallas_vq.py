@@ -82,19 +82,23 @@ def _assign_kernel(
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret", "fast"))
 def fused_assign(
-    xn, emb, valid, tile_b: int = 4096, interpret: bool = False, fast: bool = False
+    xn, emb, valid, tile_b: int = 0, interpret: bool = False, fast: bool = False
 ):
     """(idx [B] i32, counts [M] f32, sums [M, K] f32) for one branch.
 
     ``fast=False`` matches nearest_codeword + assignment_stats exactly (same
     expanded-square distances, f32 MXU accumulation); ``fast=True`` streams
     the distance tile and the one-hot in bf16 like the xla_fast backend.
-    tile_b=4096 amortizes the per-program DMA/setup cost (1024-sized tiles
-    spent most of the 11.5ms/layer on 2688 tiny program launches); VMEM use
-    per program is the [TB, M] distance + one-hot tiles (~2MB each at bf16; the 16MB scoped-VMEM limit rejects 8192).
+    tile_b=0 picks the M-adaptive tile (same formula as fused_assign_branches):
+    large tiles amortize the per-program DMA/setup cost (1024-sized tiles
+    spent most of the 11.5ms/layer on 2688 tiny program launches), but the
+    [TB, M] distance + one-hot VMEM tiles must stay under the 16MB
+    scoped-VMEM limit, which rejects TB=4096 once M >= 1024.
     """
     B, K = xn.shape
     M = emb.shape[0]
+    if tile_b == 0:
+        tile_b = max(512, min(4096, (1 << 20) // M // 512 * 512))
     assert tile_b % 128 == 0
     B_pad = ((B + tile_b - 1) // tile_b) * tile_b
     if B_pad != B:

@@ -83,36 +83,46 @@ class Logger:
 
 
 class AverageValueMeter:
-    """Streaming mean/std (Welford), same contract as the reference meter."""
+    """Streaming weighted mean/std meter (numerically stable accumulators).
+
+    Reporting contract matches the reference meter: ``value()`` returns
+    ``(mean, std)``; mean is NaN before any sample, std is NaN before any
+    sample and +inf with a single sample (sample std, ddof=1).
+    """
 
     def __init__(self):
         self.reset()
-
-    def add(self, value, n=1):
-        if n <= 0:
-            raise ValueError("Cannot use a non-positive weight for the running stat.")
-        self.val = value
-        self.sum += value * n
-        if self.n == 0:
-            self.mean = 0.0 + value
-            self.std = math.inf
-            self._mean_old = self.mean
-            self._m_s = 0.0
-        else:
-            self.mean = self._mean_old + n * (value - self._mean_old) / float(self.n + n)
-            self._m_s += n * (value - self._mean_old) * (value - self.mean)
-            self._mean_old = self.mean
-            self.std = math.sqrt(self._m_s / (self.n + n - 1.0))
-        self.n += n
-
-    def value(self):
-        return self.mean, self.std
 
     def reset(self):
         self.n = 0
         self.sum = 0.0
         self.val = 0.0
-        self.mean = math.nan
-        self.std = math.nan
-        self._mean_old = 0.0
-        self._m_s = 0.0
+        self._mean = 0.0
+        self._m2 = 0.0  # weighted sum of squared deviations from the mean
+
+    def add(self, value, n=1):
+        if n <= 0:
+            raise ValueError("meter weight must be positive")
+        value = float(value)
+        self.val = value
+        self.sum += value * n
+        total = self.n + n
+        delta = value - self._mean
+        self._mean += delta * n / total
+        self._m2 += n * delta * (value - self._mean)
+        self.n = total
+
+    @property
+    def mean(self):
+        return self._mean if self.n else math.nan
+
+    @property
+    def std(self):
+        if self.n == 0:
+            return math.nan
+        if self.n == 1:
+            return math.inf
+        return math.sqrt(self._m2 / (self.n - 1))
+
+    def value(self):
+        return self.mean, self.std
