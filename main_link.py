@@ -43,8 +43,15 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--vq-update-mode", type=str, default="live",
                    choices=["live", "reference"])
-    p.add_argument("--vq-backend", type=str, default="xla",
-                   choices=["xla", "xla_fast", "scan", "pallas"])
+    p.add_argument("--vq-backend", type=str, default="auto",
+                   choices=["auto", "xla", "xla_fast", "scan", "pallas",
+                            "pallas_fast"])
+    p.add_argument("--compute-dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--ell-K", type=int, default=8)
+    p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--ckpt-every", type=int, default=50)
+    p.add_argument("--resume", action="store_true")
     return p.parse_args()
 
 
@@ -117,12 +124,16 @@ def main():
         seed=a.seed,
         vq_update_mode=a.vq_update_mode,
         vq_backend=a.vq_backend,
+        compute_dtype=a.compute_dtype,
+        ell_K=a.ell_K,
     )
     print(cfg)
     g, split = load_link_data(cfg)
     trainer = LinkTrainer(g, cfg, split)
     for run in range(cfg.runs):
-        trainer.fit(run=run)
+        trainer.fit(
+            run=run, ckpt_dir=a.ckpt_dir, ckpt_every=a.ckpt_every, resume=a.resume
+        )
         trainer.logger.print_statistics(run)
     trainer.logger.print_statistics()
 

@@ -73,12 +73,21 @@ def parse_args():
                    choices=["live", "reference"])
     p.add_argument("--spmm-backend", type=str, default="ell",
                    choices=["ell", "coo"])
-    p.add_argument("--vq-backend", type=str, default="xla",
-                   choices=["xla", "xla_fast", "scan", "pallas"],
-                   help="xla = exact-f32 assignment; xla_fast = bf16-streamed "
-                        "distance + stats (fastest on TPU)")
+    p.add_argument("--vq-backend", type=str, default="auto",
+                   choices=["auto", "xla", "xla_fast", "scan", "pallas",
+                            "pallas_fast"],
+                   help="auto = pallas_fast on TPU / xla elsewhere; "
+                        "xla & pallas = exact-f32 assignment; *_fast = "
+                        "bf16-streamed distance + stats (fastest)")
     p.add_argument("--matmul-precision", type=str, default="highest",
                    choices=["highest", "default"])
+    p.add_argument("--compute-dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="streaming dtype for the aggregate path "
+                        "(accumulation stays f32)")
+    p.add_argument("--ell-K", type=int, default=8,
+                   help="edges per slot-ELL row (K); 8 is the v5e sweep "
+                        "optimum at arxiv scale")
     p.add_argument("--vq-diagnostics", action="store_true")
     p.add_argument("--ckpt-dir", type=str, default=None)
     p.add_argument("--ckpt-every", type=int, default=50)
@@ -133,6 +142,8 @@ def main():
         spmm_backend=a.spmm_backend,
         vq_backend=a.vq_backend,
         matmul_precision=a.matmul_precision,
+        compute_dtype=a.compute_dtype,
+        ell_K=a.ell_K,
     )
     print(cfg)
     graph, num_classes, cluster_indices = get_data(cfg)

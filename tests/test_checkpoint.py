@@ -47,6 +47,45 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     np.testing.assert_allclose(r1, r2)
 
 
+def test_named_leaves_survive_field_addition(tmp_path):
+    """Path-keyed restore is robust to pytree reordering: a template whose
+    flatten ORDER differs but whose paths match restores correctly (the old
+    order-based format would silently swap same-shaped leaves)."""
+    from collections import OrderedDict
+
+    path = os.path.join(tmp_path, "named.npz")
+    a, b = np.arange(4.0), np.arange(4.0) * 10
+    save_checkpoint(path, {"alpha": a, "beta": b})  # flattens sorted: a, b
+    # OrderedDict flattens in insertion order: beta first — order-based
+    # restore would swap the two same-shaped leaves, named restore must not
+    out = restore_checkpoint(
+        path, OrderedDict([("beta", np.zeros(4)), ("alpha", np.zeros(4))])
+    )
+    np.testing.assert_array_equal(out["alpha"], a)
+    np.testing.assert_array_equal(out["beta"], b)
+
+
+def test_named_restore_rejects_path_mismatch(tmp_path):
+    path = os.path.join(tmp_path, "named.npz")
+    save_checkpoint(path, {"alpha": np.zeros(4)})
+    try:
+        restore_checkpoint(path, {"gamma": np.zeros(4)})
+    except ValueError as e:
+        assert "gamma" in str(e) and "alpha" in str(e)
+    else:
+        raise AssertionError("mismatched paths must raise")
+
+
+def test_legacy_order_archive_restores(tmp_path):
+    """Round-1 flatten-order archives (leaf_<i> keys) still load."""
+    path = os.path.join(tmp_path, "legacy.npz")
+    leaves = [np.arange(3.0), np.ones((2, 2))]
+    np.savez(path, **{f"leaf_{i}": a for i, a in enumerate(leaves)})
+    out = restore_checkpoint(path, {"a": np.zeros(3), "b": np.zeros((2, 2))})
+    np.testing.assert_array_equal(out["a"], leaves[0])
+    np.testing.assert_array_equal(out["b"], leaves[1])
+
+
 def test_fit_ckpt_resume(tmp_path):
     cfg = Config(
         dataset="synthetic",

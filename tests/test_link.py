@@ -136,3 +136,35 @@ def test_clip_path_runs():
     tr.run_init_sweep()
     loss = tr.train_epoch(1)
     assert np.isfinite(loss)
+
+
+def test_link_trainer_ckpt_resume(tmp_path):
+    cfg = Config(
+        dataset="synthetic",
+        conv_type="GCN",
+        num_layers=2,
+        hidden_channels=16,
+        num_D=4,
+        num_M=8,
+        batch_size=200,
+        test_batch_size=400,
+        skip=True,
+        pad_multiple_nodes=64,
+        pad_multiple_edges=512,
+        epochs=2,
+        lr=0.003,
+    )
+    rng = np.random.RandomState(0)
+    g, c = synthetic_sbm(num_nodes=400, num_features=16, seed=2)
+    g, c, _ = prepare(g, cfg, c)
+    split = make_split(g, rng)
+    tr = LinkTrainer(g, cfg, split)
+    tr.fit(ckpt_dir=str(tmp_path), ckpt_every=1, verbose=False)
+    # fresh trainer resumes past epoch 2 (predictor params + nu included)
+    tr2 = LinkTrainer(g, cfg, split)
+    tr2.fit(ckpt_dir=str(tmp_path), resume=True, verbose=False)
+    np.testing.assert_allclose(tr.evaluate_hits(), tr2.evaluate_hits())
+    for a, b in zip(
+        jax.tree.leaves(tr._ckpt_tree()), jax.tree.leaves(tr2._ckpt_tree())
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -93,8 +93,11 @@ class Config:
     # Edges per ELL slot (K). Swept on v5e at arxiv scale: K=8 beats 4 and 16
     # (13.17M vs 12.20M/12.64M edges/s) — padding waste vs slot-count balance.
     ell_K: int = 8
-    # Pallas fused VQ assignment kernel on TPU ('xla' fallback elsewhere).
-    vq_backend: str = "xla"
+    # VQ assignment/lookup backend. 'auto' resolves by platform at
+    # model-build time: 'pallas_fast' on TPU (the bench default), 'xla'
+    # elsewhere. Explicit values: xla | xla_fast | scan | pallas |
+    # pallas_fast ('xla'/'pallas' are the exact-parity backends).
+    vq_backend: str = "auto"
     # Compute dtype for the aggregate/matmul path. f32 keeps reference parity;
     # bf16 rides the MXU at full rate.
     compute_dtype: str = "float32"

@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <queue>
 #include <random>
 #include <vector>
 
@@ -196,6 +197,264 @@ void vq_partition(const int64_t *rowptr, const int64_t *col, int64_t num_N,
   // any stragglers (disconnected tails) go to the last part
   for (int64_t i = 0; i < num_N; ++i)
     cluster[i] = assign[i] >= 0 ? assign[i] : num_parts - 1;
+}
+
+}  // extern "C"
+
+// ---------------- Multilevel k-way partitioner ----------------
+// METIS-style pipeline (Karypis & Kumar '98), implemented from scratch:
+//   1. coarsen by heavy-edge matching until ~max(128, 16*parts) nodes,
+//   2. greedy weighted BFS-grow initial partition on the coarsest graph,
+//   3. project back level by level with greedy boundary (FM-flavored)
+//      refinement under a 5% node-weight balance ceiling.
+// Replaces torch_sparse's METIS binding (reference misc.py:107) for the
+// cluster sampler; the input CSR must have a symmetric pattern.
+
+namespace {
+
+struct MLGraph {
+  int64_t n = 0;
+  std::vector<int64_t> rowptr, col;
+  std::vector<int64_t> ew;  // edge weights (contracted multiplicities)
+  std::vector<int64_t> nw;  // node weights (contracted sizes)
+};
+
+// Heavy-edge matching in random order; writes fine->coarse map, returns nc.
+int64_t hem_match(const MLGraph &g, std::mt19937_64 &gen,
+                  std::vector<int64_t> &cmap) {
+  std::vector<int64_t> order(g.n);
+  for (int64_t i = 0; i < g.n; ++i) order[i] = i;
+  std::shuffle(order.begin(), order.end(), gen);
+  std::vector<int64_t> match(g.n, -1);
+  for (int64_t oi = 0; oi < g.n; ++oi) {
+    int64_t v = order[oi];
+    if (match[v] >= 0) continue;
+    int64_t best = -1, bw = -1;
+    for (int64_t e = g.rowptr[v]; e < g.rowptr[v + 1]; ++e) {
+      int64_t u = g.col[e];
+      if (u == v || match[u] >= 0) continue;
+      if (g.ew[e] > bw) {
+        bw = g.ew[e];
+        best = u;
+      }
+    }
+    if (best >= 0) {
+      match[v] = best;
+      match[best] = v;
+    } else {
+      match[v] = v;
+    }
+  }
+  cmap.assign(g.n, -1);
+  int64_t nc = 0;
+  for (int64_t oi = 0; oi < g.n; ++oi) {
+    int64_t v = order[oi];
+    if (cmap[v] >= 0) continue;
+    cmap[v] = nc;
+    cmap[match[v]] = nc;
+    ++nc;
+  }
+  return nc;
+}
+
+MLGraph contract(const MLGraph &g, const std::vector<int64_t> &cmap,
+                 int64_t nc) {
+  MLGraph c;
+  c.n = nc;
+  c.nw.assign(nc, 0);
+  for (int64_t v = 0; v < g.n; ++v) c.nw[cmap[v]] += g.nw[v];
+  // bucket fine nodes by coarse id
+  std::vector<int64_t> cnt(nc + 1, 0);
+  for (int64_t v = 0; v < g.n; ++v) ++cnt[cmap[v] + 1];
+  for (int64_t i = 0; i < nc; ++i) cnt[i + 1] += cnt[i];
+  std::vector<int64_t> members(g.n), cur(cnt.begin(), cnt.end() - 1);
+  for (int64_t v = 0; v < g.n; ++v) members[cur[cmap[v]]++] = v;
+
+  c.rowptr.assign(nc + 1, 0);
+  std::vector<int64_t> stamp(nc, -1), acc(nc, 0);
+  c.col.reserve(g.col.size());
+  c.ew.reserve(g.col.size());
+  for (int64_t cv = 0; cv < nc; ++cv) {
+    int64_t start = (int64_t)c.col.size();
+    for (int64_t mi = cnt[cv]; mi < cnt[cv + 1]; ++mi) {
+      int64_t v = members[mi];
+      for (int64_t e = g.rowptr[v]; e < g.rowptr[v + 1]; ++e) {
+        int64_t cu = cmap[g.col[e]];
+        if (cu == cv) continue;  // contracted self-edge
+        if (stamp[cu] != cv) {
+          stamp[cu] = cv;
+          acc[cu] = 0;
+          c.col.push_back(cu);
+        }
+        acc[cu] += g.ew[e];
+      }
+    }
+    for (int64_t i = start; i < (int64_t)c.col.size(); ++i)
+      c.ew.push_back(acc[c.col[i]]);
+    c.rowptr[cv + 1] = (int64_t)c.col.size();
+  }
+  return c;
+}
+
+// Greedy graph growing (GGGP) for the coarsest level: grow each part from
+// a low-degree seed, always absorbing the frontier node with the heaviest
+// connection to the growing part (node-weight balanced).  The coarsest
+// graph is small (<= max(128, 16*parts) nodes), so the lazy heap is cheap.
+void greedy_grow_weighted(const MLGraph &g, int32_t parts,
+                          std::vector<int32_t> &assign) {
+  assign.assign(g.n, -1);
+  int64_t remaining = 0;
+  for (int64_t v = 0; v < g.n; ++v) remaining += g.nw[v];
+
+  std::vector<int64_t> order(g.n);
+  for (int64_t i = 0; i < g.n; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    return (g.rowptr[a + 1] - g.rowptr[a]) < (g.rowptr[b + 1] - g.rowptr[b]);
+  });
+
+  std::vector<int64_t> conn(g.n, 0);  // connection of frontier node to part
+  std::priority_queue<std::pair<int64_t, int64_t>> heap;  // (conn, node)
+  int64_t seed_cursor = 0;
+  for (int32_t part = 0; part < parts; ++part) {
+    // remaining-aware target: earlier parts overshoot (lumpy contracted
+    // node weights), so a FIXED target starves — or empties — the last
+    // parts, and refinement can never repopulate a part no node touches
+    const int64_t target = (remaining + (parts - part) - 1) / (parts - part);
+    int64_t size = 0;
+    while (!heap.empty()) heap.pop();
+    for (int64_t v = 0; v < g.n; ++v)
+      if (assign[v] < 0) conn[v] = 0;
+    while (size < target) {
+      int64_t v = -1;
+      while (!heap.empty()) {
+        auto [w, u] = heap.top();
+        heap.pop();
+        if (assign[u] < 0 && w == conn[u]) {  // skip stale entries
+          v = u;
+          break;
+        }
+      }
+      if (v < 0) {  // frontier exhausted: reseed from next unassigned
+        while (seed_cursor < g.n && assign[order[seed_cursor]] >= 0)
+          ++seed_cursor;
+        if (seed_cursor >= g.n) break;
+        v = order[seed_cursor];
+      }
+      assign[v] = part;
+      size += g.nw[v];
+      remaining -= g.nw[v];
+      for (int64_t e = g.rowptr[v]; e < g.rowptr[v + 1]; ++e) {
+        const int64_t u = g.col[e];
+        if (assign[u] < 0) {
+          conn[u] += g.ew[e];
+          heap.push({conn[u], u});
+        }
+      }
+    }
+  }
+  for (int64_t v = 0; v < g.n; ++v)
+    if (assign[v] < 0) assign[v] = parts - 1;
+}
+
+// Greedy boundary refinement: move nodes to the part they connect to most,
+// respecting a balance ceiling; zero-gain moves allowed when they improve
+// balance (also serves as the rebalance mechanism between levels).
+void refine(const MLGraph &g, int32_t parts, std::vector<int32_t> &assign,
+            int max_passes, double ub) {
+  std::vector<int64_t> pw(parts, 0);
+  int64_t total = 0;
+  for (int64_t v = 0; v < g.n; ++v) {
+    pw[assign[v]] += g.nw[v];
+    total += g.nw[v];
+  }
+  const int64_t maxw = (int64_t)(ub * (double)total / parts) + 1;
+
+  std::vector<int64_t> conn(parts, 0);
+  std::vector<int32_t> touched;
+  touched.reserve(64);
+  for (int pass = 0; pass < max_passes; ++pass) {
+    int64_t moves = 0;
+    for (int64_t v = 0; v < g.n; ++v) {
+      const int32_t p = assign[v];
+      touched.clear();
+      for (int64_t e = g.rowptr[v]; e < g.rowptr[v + 1]; ++e) {
+        if (g.col[e] == v) continue;
+        const int32_t q = assign[g.col[e]];
+        if (conn[q] == 0) touched.push_back(q);
+        conn[q] += g.ew[e];
+      }
+      // best-connected OTHER part that fits under the balance ceiling
+      int32_t best = p;
+      int64_t bw = -1;
+      for (int32_t q : touched) {
+        if (q == p || pw[q] + g.nw[v] > maxw) continue;
+        if (conn[q] > bw || (conn[q] == bw && pw[q] < pw[best])) {
+          bw = conn[q];
+          best = q;
+        }
+      }
+      if (best != p) {
+        const int64_t gain = bw - conn[p];
+        // overweight sources shed to the best fitting part at ANY gain —
+        // this is the rebalance mechanism, and it bounds pw at maxw as
+        // long as the part has boundary nodes
+        if (gain > 0 || pw[p] > maxw ||
+            (gain == 0 && pw[best] + g.nw[v] < pw[p])) {
+          assign[v] = best;
+          pw[p] -= g.nw[v];
+          pw[best] += g.nw[v];
+          ++moves;
+        }
+      }
+      for (int32_t q : touched) conn[q] = 0;
+    }
+    if (moves == 0) break;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Multilevel partitioner entry point; cluster[i] in [0, num_parts).
+void vq_partition_ml(const int64_t *rowptr, const int64_t *col, int64_t num_N,
+                     int32_t num_parts, uint64_t seed, int32_t *cluster) {
+  if (num_parts <= 1 || num_N == 0) {
+    for (int64_t v = 0; v < num_N; ++v) cluster[v] = 0;
+    return;
+  }
+  MLGraph g;
+  g.n = num_N;
+  g.rowptr.assign(rowptr, rowptr + num_N + 1);
+  g.col.assign(col, col + rowptr[num_N]);
+  g.ew.assign(rowptr[num_N], 1);
+  g.nw.assign(num_N, 1);
+
+  std::vector<MLGraph> levels;
+  std::vector<std::vector<int64_t>> maps;
+  levels.push_back(std::move(g));
+  std::mt19937_64 gen(seed);
+  const int64_t coarsen_to =
+      std::max<int64_t>(128, (int64_t)num_parts * 16);
+  while (levels.back().n > coarsen_to) {
+    std::vector<int64_t> cmap;
+    const int64_t nc = hem_match(levels.back(), gen, cmap);
+    if (nc > levels.back().n * 95 / 100) break;  // matching stalled
+    MLGraph c = contract(levels.back(), cmap, nc);
+    maps.push_back(std::move(cmap));
+    levels.push_back(std::move(c));
+  }
+
+  std::vector<int32_t> assign;
+  greedy_grow_weighted(levels.back(), num_parts, assign);
+  refine(levels.back(), num_parts, assign, 20, 1.05);
+  for (int64_t l = (int64_t)levels.size() - 2; l >= 0; --l) {
+    std::vector<int32_t> fine(levels[l].n);
+    for (int64_t v = 0; v < levels[l].n; ++v) fine[v] = assign[maps[l][v]];
+    assign = std::move(fine);
+    refine(levels[l], num_parts, assign, l == 0 ? 40 : 8, 1.05);
+  }
+  for (int64_t v = 0; v < num_N; ++v) cluster[v] = assign[v];
 }
 
 }  // extern "C"

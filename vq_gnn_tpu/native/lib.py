@@ -66,6 +66,10 @@ def _load() -> Optional[ctypes.CDLL]:
         i64p, i64p, ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.vq_partition_ml.argtypes = [
+        i64p, i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.vq_build_ell.argtypes = [
         i64p, i64p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -148,17 +152,29 @@ def build_ell(row, col, val, num_rows, K, S_pad):
     return ell_row, ell_col, ell_val
 
 
-def partition(adj, num_parts: int) -> np.ndarray:
-    """cluster id per node from the greedy BFS-grow partitioner."""
+def partition(adj, num_parts: int, method: str = "ml", seed: int = 0) -> np.ndarray:
+    """cluster id per node. ``ml`` = multilevel HEM + BFS-grow + boundary
+    refinement (METIS-style, the default); ``bfs`` = plain greedy BFS-grow.
+    The input pattern should be symmetric (partition_graph symmetrizes)."""
     lib = _load()
     csr = adj.tocsr()
     rowptr, col = _i64(csr.indptr), _i64(csr.indices)
     out = np.empty(csr.shape[0], dtype=np.int32)
-    lib.vq_partition(
-        _ptr(rowptr, ctypes.c_int64),
-        _ptr(col, ctypes.c_int64),
-        csr.shape[0],
-        num_parts,
-        _ptr(out, ctypes.c_int32),
-    )
+    if method == "ml":
+        lib.vq_partition_ml(
+            _ptr(rowptr, ctypes.c_int64),
+            _ptr(col, ctypes.c_int64),
+            csr.shape[0],
+            num_parts,
+            seed,
+            _ptr(out, ctypes.c_int32),
+        )
+    else:
+        lib.vq_partition(
+            _ptr(rowptr, ctypes.c_int64),
+            _ptr(col, ctypes.c_int64),
+            csr.shape[0],
+            num_parts,
+            _ptr(out, ctypes.c_int32),
+        )
     return out

@@ -79,6 +79,16 @@ class ModelStatic:
         return tuple(c // self.num_D for c in self.channels[:-1])
 
 
+def resolve_vq_backend(backend: str) -> str:
+    """'auto' -> fastest backend for the current platform (pallas_fast on
+    TPU, xla on CPU where the Pallas kernels only run interpreted)."""
+    if backend != "auto":
+        return backend
+    import jax
+
+    return "pallas_fast" if jax.default_backend() == "tpu" else "xla"
+
+
 def model_static(cfg: Config, in_channels: int, out_channels: int) -> ModelStatic:
     chans = (
         (in_channels,)
@@ -97,7 +107,7 @@ def model_static(cfg: Config, in_channels: int, out_channels: int) -> ModelStati
         # do only for GAT (v1/models.py:53 with block transformer_flag=False,
         # v1:278); transformer blocks always do (v1:272) — see vq_tr below.
         add_flag=cfg.formulation == "bm" and cfg.conv_type == "GAT",
-        backend=cfg.vq_backend,
+        backend=resolve_vq_backend(cfg.vq_backend),
     )
     if cfg.dropbranch > 0:
         if not 0.0 < cfg.dropbranch < 1.0:

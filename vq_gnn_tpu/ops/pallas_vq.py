@@ -49,10 +49,14 @@ def _assign_kernel(
     # does not affect the argmin, so skip it.  ``fast`` mirrors the xla_fast
     # backend: bf16 MXU operands (Mosaic requires the accumulator itself to
     # stay 32-bit); near-tie assignments may flip vs exact f32.
+    # bf16 dots pin precision=DEFAULT: an ambient
+    # jax_default_matmul_precision='highest' would request an fp32-contract
+    # on bf16 operands, which Mosaic rejects ("Bad lhs type").
     if fast:
         d = e2_ref[:] - 2.0 * jnp.dot(
             xn.astype(jnp.bfloat16), emb.T.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
     else:
         d = e2_ref[:] - 2.0 * jnp.dot(
@@ -77,6 +81,7 @@ def _assign_kernel(
         xn.astype(acc) if fast else xn,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT if fast else None,
     )
 
 
@@ -163,9 +168,12 @@ def _assign_kernel_allb(
         xnT = xn_ref[b]  # [K, TB]
         emb = emb_ref[b]  # [M, K]
         if fast:
+            # precision pinned: ambient 'highest' + bf16 operands is a
+            # Mosaic compile error (fp32 contract on bf16 lhs)
             d = e2_ref[b] - 2.0 * jnp.dot(
                 emb.astype(jnp.bfloat16), xnT.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )  # [M, TB]
         else:
             d = e2_ref[b] - 2.0 * jnp.dot(
@@ -187,6 +195,7 @@ def _assign_kernel_allb(
             xnT.astype(acc) if fast else xnT,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT if fast else None,
         )  # [M, K]
         return 0
 
@@ -265,6 +274,7 @@ def _lookup_kernel(c_ref, emb_ref, out_ref, *, fast):
                 emb.astype(jnp.bfloat16), onehot,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )  # [K, TN]
         else:
             out_ref[b] = jax.lax.dot_general(

@@ -20,6 +20,7 @@ the C++ native kernel is used when built.
 
 from __future__ import annotations
 
+import sys
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -279,6 +280,22 @@ class BatchLoader:
 
         if st == "cluster" and cluster_indices is None:
             raise ValueError("cluster sampler needs cluster_indices")
+        if st == "cluster" and train_flag:
+            # the reference's partition-quality print (dataloader.py v2:29-35)
+            # plus the edge-cut fraction, on stderr
+            from vq_gnn_tpu.graph.partition import (
+                edge_cut_stats,
+                labels_from_cluster_indices,
+            )
+
+            labels = labels_from_cluster_indices(self.N, cluster_indices)
+            s = edge_cut_stats(graph.adj, labels)
+            print(
+                f"inter over intra: {s['inter_over_intra']:.4f} "
+                f"(edge cut {100 * s['cut_fraction']:.2f}% of "
+                f"{s['num_edges']} edges, {len(cluster_indices)} parts)",
+                file=sys.stderr,
+            )
 
         self._epoch = 0
         # pad-size high-water marks (keeps the jit cache small & monotone)

@@ -3,9 +3,11 @@
 The reference has no checkpointing at all (SURVEY §5.4 — no torch.save
 anywhere); here the full train state (params, VQ codebooks + c_indices + BN
 running stats, optimizer accumulators, step counter) round-trips through a
-single .npz archive.  Restore is template-based: leaves are matched by pytree
-flatten order against a freshly initialized state, which keeps the format
-independent of class definitions and framework versions.
+single .npz archive.  Leaves are keyed by their pytree *path* (via
+``jax.tree_util.keystr``), so restore matches by name: reordering fields in a
+dataclass or adding new leaves does not silently corrupt old checkpoints —
+missing/extra names raise with the offending paths listed.  Archives written
+by the old flatten-order format (``leaf_<i>`` keys) still restore.
 """
 
 from __future__ import annotations
@@ -17,9 +19,19 @@ import numpy as np
 import jax
 
 
+def _named_leaves(tree: Any):
+    """[(path-string, leaf)] in flatten order."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return [(jax.tree_util.keystr(path), leaf) for path, leaf in flat]
+
+
 def save_checkpoint(path: str, state: Any, step: int | None = None) -> None:
-    leaves = jax.tree.leaves(state)
-    arrays = {f"leaf_{i}": np.asarray(a) for i, a in enumerate(leaves)}
+    arrays = {}
+    for name, leaf in _named_leaves(state):
+        key = "leaf:" + name
+        if key in arrays:
+            raise ValueError(f"duplicate pytree path {name!r}")
+        arrays[key] = np.asarray(leaf)
     if step is not None:
         arrays["__step__"] = np.asarray(step)
     tmp = path + ".tmp"
@@ -35,15 +47,35 @@ def load_step(path: str) -> int:
 
 
 def restore_checkpoint(path: str, template: Any) -> Any:
-    """Load into the structure of ``template`` (shapes/dtypes must match)."""
+    """Load into the structure of ``template``.
+
+    Leaves are matched by pytree path (shape/dtype of each must match);
+    legacy order-keyed archives are matched by flatten order.
+    """
     with np.load(path) as z:
-        leaves, treedef = jax.tree.flatten(template)
+        named = _named_leaves(template)
+        treedef = jax.tree.structure(template)
+        legacy = "leaf_0" in z.files and not any(
+            k.startswith("leaf:") for k in z.files
+        )
+        if legacy:
+            picked = [z[f"leaf_{i}"] for i in range(len(named))]
+        else:
+            have = {k for k in z.files if k.startswith("leaf:")}
+            want = {"leaf:" + name for name, _ in named}
+            if have != want:
+                missing = sorted(want - have)
+                extra = sorted(have - want)
+                raise ValueError(
+                    f"checkpoint/template leaf mismatch: missing={missing[:5]} "
+                    f"extra={extra[:5]} (of {len(missing)}/{len(extra)})"
+                )
+            picked = [z["leaf:" + name] for name, _ in named]
         loaded = []
-        for i, leaf in enumerate(leaves):
-            a = z[f"leaf_{i}"]
+        for a, (name, leaf) in zip(picked, named):
             if tuple(a.shape) != tuple(np.shape(leaf)):
                 raise ValueError(
-                    f"checkpoint leaf {i} shape {a.shape} != template "
+                    f"checkpoint leaf {name!r} shape {a.shape} != template "
                     f"{np.shape(leaf)}"
                 )
             loaded.append(a)

@@ -289,11 +289,50 @@ class LinkTrainer:
             split_mrr(s.test_pos, s.test_neg),
         )
 
-    def fit(self, run: int = 0, verbose: bool = True):
+    def _ckpt_tree(self):
+        """Full resumable state: GNN train state + predictor params/opt."""
+        return {
+            "state": self.state,
+            "pred_params": self.pred_params,
+            "pred_nu": self.pred_nu,
+        }
+
+    def fit(
+        self,
+        run: int = 0,
+        verbose: bool = True,
+        ckpt_dir: Optional[str] = None,
+        ckpt_every: int = 50,
+        resume: bool = False,
+    ):
         cfg = self.cfg
-        self.run_init_sweep()
-        for epoch in range(1, cfg.epochs + 1):
+        from vq_gnn_tpu.train.checkpoint import (
+            load_step,
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        ckpt_path = None
+        start_epoch = 1
+        if ckpt_dir:
+            import os
+
+            ckpt_path = os.path.join(ckpt_dir, f"link_run{run}.npz")
+            if resume and os.path.exists(ckpt_path):
+                tmpl = self._ckpt_tree()
+                restored = restore_checkpoint(ckpt_path, tmpl)
+                self.state = restored["state"]
+                self.pred_params = restored["pred_params"]
+                self.pred_nu = restored["pred_nu"]
+                start_epoch = load_step(ckpt_path) + 1
+                if verbose:
+                    print(f"resumed from {ckpt_path} at epoch {start_epoch}")
+        if start_epoch == 1:
+            self.run_init_sweep()
+        for epoch in range(start_epoch, cfg.epochs + 1):
             loss = self.train_epoch(epoch)
+            if ckpt_path and epoch % ckpt_every == 0:
+                save_checkpoint(ckpt_path, self._ckpt_tree(), step=epoch)
             result = (
                 self.evaluate_mrr() if self.split.neg_per_source else self.evaluate_hits()
             )
