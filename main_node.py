@@ -146,8 +146,18 @@ def main():
         ell_K=a.ell_K,
     )
     print(cfg)
-    graph, num_classes, cluster_indices = get_data(cfg)
-    trainer = NodeTrainer(graph, cfg, num_classes, cluster_indices=cluster_indices)
+    from vq_gnn_tpu.graph.datasets import get_inductive_data, is_inductive
+
+    if is_inductive(cfg):
+        train_g, val_g, test_g, num_classes = get_inductive_data(cfg)
+        trainer = NodeTrainer(
+            train_g, cfg, num_classes, val_graph=val_g, test_graph=test_g
+        )
+    else:
+        graph, num_classes, cluster_indices = get_data(cfg)
+        trainer = NodeTrainer(
+            graph, cfg, num_classes, cluster_indices=cluster_indices
+        )
     trainer.vq_diagnostics = a.vq_diagnostics
     for run in range(cfg.runs):
         trainer.fit(

@@ -133,7 +133,7 @@ def test_bm_layer_matches_dense_mapper(conv_type, recovery):
     )
 
     # dense oracle, branch by branch
-    c_all = np.asarray(vq.c_indices)[:, : g.num_nodes]
+    c_all = np.asarray(vq.c_indices)[: g.num_nodes, :].T  # [nb, N]
     Dg = D + (1 if ms.vq.add_flag else 0)
     outs, info_ref = [], 0.0
     for b in range(nb):

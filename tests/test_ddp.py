@@ -78,7 +78,7 @@ def test_ddp_step_runs_and_updates_both_shards():
         for h, b in enumerate(batches):
             ids = np.asarray(b.batch_idx)[: int(b.num_B)]
             # at least some assignments for each shard's nodes changed
-            assert (c1[:, ids] != c0[l][:, ids]).any(), (
+            assert (c1[ids, :] != c0[l][ids, :]).any(), (
                 f"layer {l}: shard {h} nodes kept their initial assignments"
             )
 

@@ -92,9 +92,9 @@ def test_dropped_branch_vq_state_untouched():
                 np.testing.assert_array_equal(new_a[b], ref_a[b], err_msg=name)
             else:
                 np.testing.assert_array_equal(new_a[b], old_a[b], err_msg=name)
-    ci_new = np.asarray(new.c_indices)
-    ci_old = np.asarray(st.c_indices)
-    ci_ref = np.asarray(ref.c_indices)
+    ci_new = np.asarray(new.c_indices).T
+    ci_old = np.asarray(st.c_indices).T
+    ci_ref = np.asarray(ref.c_indices).T
     for b in range(nb):
         tgt = ci_ref if keep[b] else ci_old
         np.testing.assert_array_equal(ci_new[b], tgt[b])

@@ -1,0 +1,193 @@
+"""Real multi-process DDP: 2 CPU processes via jax.distributed.
+
+Exercises the actual multi-host code path (``parallel/multihost.py``:
+``init_distributed`` + ``global_batch_from_local`` + the DDP step) that
+single-process tests can only approximate — each process contributes its
+local shard through ``jax.make_array_from_process_local_data`` and the jitted
+step runs as one SPMD program over the 2-process mesh.  Asserts the loss and
+the post-step VQ codebooks are bit-identical across processes AND identical
+to the single-process stacked run of the same batches (the
+psum-before-divide EMA guarantee, SURVEY §7.3 hard part 4).
+
+No real pod needed: each subprocess forces the CPU platform and connects to
+a localhost coordinator (SURVEY §4 prescribes exactly this simulation).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys
+
+sys.path.insert(0, os.environ["VQ_GNN_REPO"])
+import jax  # before torch/sklearn (CLAUDE.md import-order rule)
+
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+coord = sys.argv[3]
+out_path = sys.argv[4]
+
+from vq_gnn_tpu.parallel.multihost import init_distributed
+
+init_distributed(coordinator_address=coord, num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc, jax.process_count()
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from vq_gnn_tpu.config import Config
+from vq_gnn_tpu.graph.datasets import prepare, synthetic_sbm
+from vq_gnn_tpu.nn.model import model_static
+from vq_gnn_tpu.parallel.multihost import global_batch_from_local, make_ddp_step
+from vq_gnn_tpu.sampler.samplers import BatchLoader
+from vq_gnn_tpu.train.loop import device_features
+from vq_gnn_tpu.train.state import init_train_state
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+# identical graph + model state on every process (replicated by construction)
+cfg = Config(
+    dataset="synthetic", conv_type="GCN", num_layers=2, hidden_channels=16,
+    num_D=4, num_M=8, batch_size=100, test_batch_size=200,
+    vq_update_mode="live", skip=True,
+    pad_multiple_nodes=64, pad_multiple_edges=512,
+    fixed_B_pad=128, fixed_Bp_pad=320, fixed_E_pad=4096,
+)
+g, c = synthetic_sbm(num_nodes=400, num_features=16, num_classes=4, seed=0)
+g, c, _ = prepare(g, cfg, c)
+ms = model_static(cfg, g.num_features, c)
+state = init_train_state(jax.random.PRNGKey(0), ms, g.num_nodes)
+X_dev = device_features(g.x)
+
+# each process samples from its own node partition
+nodes = np.arange(pid * 100, (pid + 1) * 100)
+loader = BatchLoader(g, cfg, train_flag=True, shuffle=False, seed=pid)
+loader.prefetch = False
+local_batch = loader._build(nodes)
+
+mesh = Mesh(np.asarray(jax.devices()[:nproc]), axis_names=("data",))
+with mesh:
+    gbatch = global_batch_from_local(mesh, local_batch)
+    step = make_ddp_step(ms, cfg)
+    state2, metrics = step(
+        state, X_dev, gbatch,
+        jnp.float32(1.0), jnp.float32(0.01), jnp.float32(1.0),
+        jax.random.PRNGKey(2),
+    )
+    loss = float(metrics["loss"])
+    # codebook state is replicated: every process can read it fully
+    embs = [np.asarray(jax.device_get(s.embedding)) for s in state2.vq_states]
+    cidx = [np.asarray(jax.device_get(s.c_indices)) for s in state2.vq_states]
+
+with open(out_path, "w") as f:
+    json.dump({
+        "pid": pid,
+        "loss": loss,
+        "emb_sum": [float(e.sum()) for e in embs],
+        "emb_sha": [__import__("hashlib").sha256(e.tobytes()).hexdigest() for e in embs],
+        "c_sha": [__import__("hashlib").sha256(ci.tobytes()).hexdigest() for ci in cidx],
+    }, f)
+print("worker", pid, "ok", flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_ddp_bit_identical(tmp_path):
+    nproc = 2
+    coord = f"127.0.0.1:{_free_port()}"
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+
+    procs, outs = [], []
+    for pid in range(nproc):
+        out = tmp_path / f"out{pid}.json"
+        outs.append(out)
+        env = dict(os.environ)
+        env["VQ_GNN_REPO"] = REPO
+        env["JAX_NUM_CPU_DEVICES"] = "1"
+        env.pop("XLA_FLAGS", None)  # one device per process
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), str(nproc), coord, str(out)],
+                env=env,
+                cwd=REPO,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    results = [json.loads(o.read_text()) for o in outs]
+    r0, r1 = results
+    # identical loss and bit-identical replicated VQ state on both processes
+    assert r0["loss"] == r1["loss"]
+    assert r0["emb_sha"] == r1["emb_sha"]
+    assert r0["c_sha"] == r1["c_sha"]
+    assert np.isfinite(r0["loss"])
+
+    # cross-check vs the single-process stacked run of the same two shards
+    import jax
+    import jax.numpy as jnp
+
+    from vq_gnn_tpu.config import Config
+    from vq_gnn_tpu.graph.datasets import prepare, synthetic_sbm
+    from vq_gnn_tpu.nn.model import model_static
+    from vq_gnn_tpu.parallel.multihost import make_ddp_step, stack_local_batches
+    from vq_gnn_tpu.sampler.samplers import BatchLoader
+    from vq_gnn_tpu.train.loop import device_features
+    from vq_gnn_tpu.train.state import init_train_state
+
+    cfg = Config(
+        dataset="synthetic", conv_type="GCN", num_layers=2, hidden_channels=16,
+        num_D=4, num_M=8, batch_size=100, test_batch_size=200,
+        vq_update_mode="live", skip=True,
+        pad_multiple_nodes=64, pad_multiple_edges=512,
+        fixed_B_pad=128, fixed_Bp_pad=320, fixed_E_pad=4096,
+    )
+    g, c = synthetic_sbm(num_nodes=400, num_features=16, num_classes=4, seed=0)
+    g, c, _ = prepare(g, cfg, c)
+    ms = model_static(cfg, g.num_features, c)
+    state = init_train_state(jax.random.PRNGKey(0), ms, g.num_nodes)
+    X_dev = device_features(g.x)
+    batches = []
+    for pid in range(nproc):
+        loader = BatchLoader(g, cfg, train_flag=True, shuffle=False, seed=pid)
+        loader.prefetch = False
+        batches.append(loader._build(np.arange(pid * 100, (pid + 1) * 100)))
+    step = make_ddp_step(ms, cfg)
+    s2, m2 = step(
+        state, X_dev, jax.tree.map(jnp.asarray, stack_local_batches(batches)),
+        jnp.float32(1.0), jnp.float32(0.01), jnp.float32(1.0),
+        jax.random.PRNGKey(2),
+    )
+    np.testing.assert_allclose(float(m2["loss"]), r0["loss"], rtol=1e-6)
+    for l, s in enumerate(s2.vq_states):
+        np.testing.assert_allclose(
+            float(jnp.sum(s.embedding)), r0["emb_sum"][l], rtol=1e-6
+        )

@@ -89,7 +89,7 @@ def test_v2_layer_matches_dense(conv_type):
     )
 
     # oracle: codebook lookups + dense local adjacency over [B || B']
-    c_all = np.asarray(vq.c_indices)
+    c_all = np.asarray(vq.c_indices).T  # [nb, N+1]
     table = np.asarray(emb_out)
     x_fo = np.concatenate(
         [table[b, c_all[b, fo_ids], :D] for b in range(nb)], axis=1

@@ -59,7 +59,7 @@ def test_feature_update_matches_oracle(warm_up):
                 state.embedding_output[b, :, : p.num_D], o.out[:, : p.num_D], name="out"
             )
             np.testing.assert_array_equal(
-                np.asarray(state.c_indices[b])[idxs], oidx.numpy().astype(np.int16)
+                np.asarray(state.c_indices)[idxs, b], oidx.numpy().astype(np.int16)
             )
 
 
@@ -120,7 +120,7 @@ def test_padding_invariance():
     for field in ("embedding", "embedding_output", "ema_cluster_size", "ema_w"):
         check_close(getattr(s_pad, field), getattr(s_ref, field), name=field)
     np.testing.assert_array_equal(
-        np.asarray(s_pad.c_indices)[:, :N], np.asarray(s_ref.c_indices)[:, :N]
+        np.asarray(s_pad.c_indices)[:N, :], np.asarray(s_ref.c_indices)[:N, :]
     )
 
 
@@ -144,7 +144,7 @@ def test_lookup_layout():
     ids = jnp.asarray([3, 7, 7, 10])
     feats, grads = lookup(state, ids, p)
     assert feats.shape == (4, nb * p.num_D) and grads.shape == (4, nb * p.num_D)
-    c = np.asarray(state.c_indices)
+    c = np.asarray(state.c_indices).T  # [nb, N+1]
     for j, node in enumerate([3, 7, 7, 10]):
         for b in range(nb):
             np.testing.assert_allclose(

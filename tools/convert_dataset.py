@@ -95,6 +95,58 @@ def convert_link(name: str, root: str):
     return out
 
 
+def _merge_split(graphs):
+    """Block-diagonal merge of a split's graphs — same semantics as the
+    reference's ``Batch.from_data_list`` (``vq_gnn_v2/utils/misc.py:133-137``):
+    node ids offset per graph, features/labels concatenated."""
+    eis, xs, ys = [], [], []
+    offset = 0
+    for ei, x, y in graphs:
+        eis.append(ei + offset)
+        xs.append(x)
+        ys.append(y)
+        offset += x.shape[0]
+    return np.concatenate(eis, axis=1), np.concatenate(xs), np.concatenate(ys)
+
+
+def convert_inductive(name: str, root: str):
+    """ppi / cluster (``misc.py:158-177``): three independent multi-graph
+    splits, each merged block-diagonally.  Archive keys: per split
+    ``{train,val,test}_{edge_index,x,y}`` plus ``num_classes``."""
+    import torch_geometric.datasets as D
+
+    if name == "ppi":
+        make = lambda split: D.PPI(root=root, split=split)
+    elif name == "cluster":
+        make = lambda split: D.GNNBenchmarkDataset(
+            root=root, name="CLUSTER", split=split
+        )
+    else:
+        raise ValueError(name)
+
+    out = {}
+    num_classes = 0
+    for split in ("train", "val", "test"):
+        ds = make(split)
+        graphs = [
+            (
+                d.edge_index.numpy(),
+                d.x.numpy().astype(np.float32),
+                d.y.numpy(),
+            )
+            for d in ds
+        ]
+        ei, x, y = _merge_split(graphs)
+        out[f"{split}_edge_index"] = ei
+        out[f"{split}_x"] = x
+        out[f"{split}_y"] = y.astype(np.float32 if y.ndim > 1 else np.int32)
+        num_classes = max(
+            num_classes, y.shape[1] if y.ndim > 1 else int(y.max()) + 1
+        )
+    out["num_classes"] = num_classes
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", required=True)
@@ -107,6 +159,8 @@ def main():
         arrays = convert_pyg(a.dataset, a.root)
     elif a.dataset in ("collab", "citation2"):
         arrays = convert_link(a.dataset, a.root)
+    elif a.dataset in ("ppi", "cluster"):
+        arrays = convert_inductive(a.dataset, a.root)
     else:
         raise ValueError(a.dataset)
     np.savez_compressed(a.out, **arrays)

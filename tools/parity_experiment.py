@@ -1,0 +1,124 @@
+"""Arxiv-scale VQ-vs-exact convergence parity experiment.
+
+Runs the paper's central claim (mini-batch VQ training == exact full-graph
+training accuracy, arXiv:2110.14363) at ogbn-arxiv scale.  With no network
+egress the graph is a 169,343-node synthetic SBM matched to arxiv's size and
+degree profile; when ``datasets/arxiv.npz`` exists (built elsewhere with
+``tools/convert_dataset.py`` — see REAL_DATA.md) the real graph is used
+instead, and the VQ config is exactly the reference flagship command
+(``/root/reference/README.md:19-22``: GCN, cluster sampler, 80 parts,
+40-part batches, num_D=4, hidden 128, 3 layers).
+
+Usage (TPU, ~10-30 min depending on tunnel bandwidth):
+    python tools/parity_experiment.py [--conv GCN] [--epochs 60] [--nodes 169343]
+
+Prints a result table and a JSON line; paste the table into BASELINE.md.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402  (jax before torch/sklearn — CLAUDE.md)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--conv", default="GCN", choices=["GCN", "SAGE", "GAT"])
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--exact-epochs", type=int, default=None)
+    ap.add_argument("--nodes", type=int, default=169_343)
+    ap.add_argument("--eval-every", type=int, default=5)
+    ap.add_argument("--noise", type=float, default=4.0)
+    ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from vq_gnn_tpu.config import Config
+    from vq_gnn_tpu.graph.datasets import load_npz, synthetic_sbm
+    from vq_gnn_tpu.train.parity import parity_gap
+
+    real = os.path.join("datasets", "arxiv.npz")
+
+    def graph_fn():
+        if os.path.exists(real):
+            return load_npz(real)
+        return synthetic_sbm(
+            num_nodes=args.nodes,
+            num_classes=40,
+            num_features=128,
+            avg_degree=13.7,
+            homophily=0.7,
+            feature_noise=args.noise,
+            seed=7,
+        )
+
+    n = graph_fn()[0].num_nodes
+    # the reference arxiv flagship config (README.md:19-22), live VQ
+    cfg = Config(
+        dataset="arxiv",
+        conv_type=args.conv,
+        num_layers=3,
+        hidden_channels=128,
+        num_D=4,
+        num_M=256,
+        sampler_type="cluster",
+        num_parts=80,
+        batch_size=40,
+        test_batch_size=n,
+        vq_update_mode="live",
+        lr=0.01,
+        warm_up=True,
+        warm_up_epochs=5,
+        skip=True,
+        matmul_precision="default",
+        vq_backend="auto",
+    )
+
+    t0 = time.time()
+    res = parity_gap(
+        graph_fn,
+        cfg,
+        epochs=args.epochs,
+        eval_every=args.eval_every,
+        exact_epochs=args.exact_epochs,
+        verbose=True,
+    )
+    dt = time.time() - t0
+    src = "real ogbn-arxiv" if os.path.exists(real) else f"synthetic SBM N={n}"
+
+    print(f"\n== parity @ {src}, {args.conv}, {args.epochs} epochs, {dt:.0f}s ==")
+    print(f"{'':16s}{'best valid':>12s}{'test@best':>12s}{'final test':>12s}")
+    for k in ("exact", "vq"):
+        r = res[k]
+        print(
+            f"{k:16s}{r['best_valid']:>12.4f}{r['test_at_best_valid']:>12.4f}"
+            f"{r['final_test']:>12.4f}"
+        )
+    print(f"gap (exact - vq): {res['gap']:+.4f}")
+    print(
+        json.dumps(
+            {
+                "experiment": "vq_vs_exact_parity",
+                "source": src,
+                "conv": args.conv,
+                "epochs": args.epochs,
+                "exact_test": res["exact"]["test_at_best_valid"],
+                "vq_test": res["vq"]["test_at_best_valid"],
+                "gap": res["gap"],
+                "seconds": round(dt, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

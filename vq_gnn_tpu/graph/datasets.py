@@ -55,6 +55,57 @@ def load_npz(path: str) -> Tuple[HostGraph, int]:
     return g, num_classes
 
 
+def load_inductive_npz(path: str):
+    """Load a ppi/cluster-style inductive archive (three block-diagonal
+    merged splits, written by ``tools/convert_dataset.py:convert_inductive``).
+    The merged train split gets an all-ones train_mask, matching the
+    reference's ``inductive_data`` (``vq_gnn_v2/utils/misc.py:133-137``)."""
+    z = np.load(path, allow_pickle=False)
+    graphs = []
+    for split in ("train", "val", "test"):
+        x = z[f"{split}_x"].astype(np.float32)
+        src, dst = z[f"{split}_edge_index"][0], z[f"{split}_edge_index"][1]
+        n = x.shape[0]
+        adj = sp.csr_matrix(
+            (np.ones(len(src), np.float32), (dst, src)), shape=(n, n)
+        )
+        g = HostGraph(
+            adj=adj,
+            x=x,
+            y=z[f"{split}_y"],
+            train_mask=np.ones(n, dtype=bool) if split == "train" else None,
+        )
+        graphs.append(g)
+    return graphs, int(z["num_classes"])
+
+
+INDUCTIVE_DATASETS = {"ppi", "cluster"}
+
+
+def is_inductive(cfg: Config) -> bool:
+    return cfg.dataset in INDUCTIVE_DATASETS or cfg.dataset.startswith(
+        "synthetic_inductive"
+    )
+
+
+def get_inductive_data(cfg: Config):
+    """Inductive dispatch: (train_g, val_g, test_g, num_classes), prepared
+    per split (reference get_data ppi/cluster branches, misc.py:158-177)."""
+    if cfg.dataset.startswith("synthetic_inductive"):
+        parts = cfg.dataset.split(":")
+        n = int(parts[1]) if len(parts) > 1 else 300
+        graphs, c = synthetic_inductive(num_nodes=n, seed=cfg.seed)
+    else:
+        path = os.path.join(cfg.data_root, f"{cfg.dataset}.npz")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} not found; run tools/convert_dataset.py --dataset "
+                f"{cfg.dataset} on a machine with egress (see REAL_DATA.md)"
+            )
+        graphs, c = load_inductive_npz(path)
+    return prepare_inductive(graphs, cfg, c)
+
+
 def synthetic_sbm(
     num_nodes: int = 2000,
     num_classes: int = 8,

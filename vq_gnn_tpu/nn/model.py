@@ -419,7 +419,7 @@ def _bm_exact_reverse_info(
 
     infos = jax.lax.map(
         one_branch,
-        (vq_state.c_indices.astype(jnp.int32), grad_table, x_cols, al, ar_cb),
+        (vq_state.c_indices.T.astype(jnp.int32), grad_table, x_cols, al, ar_cb),
     )
     if branch_keep is not None:
         infos = infos * branch_keep.astype(infos.dtype)

@@ -17,8 +17,11 @@ State layout (K = 2*D, +1 when ``add_flag``):
 - ``embedding_output [nb, M, K]`` de-normalized copy used for lookups (``get()``)
 - ``ema_cluster_size [nb, M]``, ``ema_w [nb, M, K]``  EMA accumulators
 - ``bn_feat_* [nb, D]``, ``bn_grad_* [nb, Dg]``       BatchNorm running stats
-- ``c_indices [nb, N+1]`` int16   node -> codeword (last row is a dustbin for
-  padded batch slots; int16 matches the reference, ``models.py v2:27-28``)
+- ``c_indices [N+1, nb]`` int16   node -> codeword (last row is a dustbin for
+  padded batch slots; int16 matches the reference, ``models.py v2:27-28``).
+  Node-major: the per-step rewrite is then a contiguous row scatter at the
+  batch indices instead of an [nb, B] column scatter (TPU scatters serialize
+  per element; the column layout cost ~2ms/step at B=85k, nb=32)
 - ``bn_inited``, ``bad_init``     scalars (the reference raises 'Bad Init!' on
   codebook collapse, ``vq.py:253-254``; we set a flag the trainer checks)
 """
@@ -95,7 +98,7 @@ def init_vq_state(rng, num_branch: int, num_N: int, p: VQParams) -> VQState:
     emb = emb * gscale
     ema_w = ema_w * gscale
 
-    c = jax.random.randint(k_c, (num_branch, num_N + 1), 0, M, dtype=jnp.int32)
+    c = jax.random.randint(k_c, (num_N + 1, num_branch), 0, M, dtype=jnp.int32)
     return VQState(
         embedding=emb,
         embedding_output=jnp.zeros((num_branch, M, K), dtype=jnp.float32),
@@ -208,8 +211,9 @@ def feature_update(
         new_var,
     )
     r_mean, r_var = new_mean, new_var
-    c_indices = state.c_indices.at[:, batch_idx].set(
-        idx.astype(jnp.int16), mode="drop"
+    # node-major row scatter: [B, nb] rows land contiguously at batch_idx
+    c_indices = state.c_indices.at[batch_idx, :].set(
+        idx.T.astype(jnp.int16), mode="drop"
     )
     return (
         state.replace(
@@ -331,9 +335,9 @@ def vq_update(
         idx_w = jnp.where(
             branch_keep[:, None],
             idx_w,
-            jnp.take(state.c_indices, batch_idx, axis=1, mode="clip"),
+            jnp.take(state.c_indices, batch_idx, axis=0, mode="clip").T,
         )
-    c_indices = state.c_indices.at[:, batch_idx].set(idx_w, mode="drop")
+    c_indices = state.c_indices.at[batch_idx, :].set(idx_w.T, mode="drop")
     return (
         state.replace(
             embedding=emb,
@@ -384,7 +388,7 @@ def feature_kmeans_init(
         emb[b, :, : p.num_D] = cent
         size[b] = counts
         ema_w[b, :, : p.num_D] = cent * counts[:, None]
-        c_idx[b, np.asarray(batch_idx)] = km.labels_.astype(np.int16)
+        c_idx[np.asarray(batch_idx), b] = km.labels_.astype(np.int16)
     return state.replace(
         embedding=jnp.asarray(emb),
         ema_w=jnp.asarray(ema_w),
@@ -424,7 +428,11 @@ def lookup(state: VQState, node_ids: jnp.ndarray, p: VQParams, stream=None):
     codeword values — the same bf16 rounding the rest of the bf16 path
     applies.  f32/parity paths leave it None.
     """
-    c = jnp.take(state.c_indices, node_ids, axis=1).astype(jnp.int32)  # [nb, n]
+    # node-major row gather ([n, nb] int16 rows stream contiguously), then a
+    # small relayout to the branch-major [nb, n] the kernels consume
+    c = jnp.take(state.c_indices, node_ids, axis=0, mode="clip").astype(
+        jnp.int32
+    ).T  # [nb, n]
     # one-hot MXU GEMM instead of a per-branch [n, 2D]-row gather: rows of
     # width 2D (= 32B at D=4) gather ~3x slower than the equivalent
     # iota-compare einsum on TPU.  Precision inherits the ambient

@@ -53,7 +53,8 @@ def _put(x, sharding):
 
 
 def _shard_vq_state_model(mesh: Mesh, vq_state):
-    """Shard a VQState's leading branch axis over 'model'; scalars replicate."""
+    """Shard a VQState's leading branch axis over 'model'; scalars replicate.
+    c_indices is node-major [N+1, nb], so its branch axis is axis 1."""
     from jax.sharding import NamedSharding as NS
 
     def place(a):
@@ -63,7 +64,13 @@ def _shard_vq_state_model(mesh: Mesh, vq_state):
             return jax.device_put(a, NS(mesh, P(*(("model",) + (None,) * (a.ndim - 1)))))
         return jax.device_put(a, NS(mesh, P()))
 
-    return jax.tree.map(place, vq_state)
+    # c_indices must not pass through place() — its leading axis is N+1
+    out = jax.tree.map(place, vq_state.replace(c_indices=None))
+    return out.replace(
+        c_indices=jax.device_put(
+            vq_state.c_indices, NS(mesh, P(None, "model"))
+        )
+    )
 
 
 def shard_train_inputs_2d(mesh: Mesh, state, X_dev, batch):

@@ -275,7 +275,7 @@ class NodeTrainer:
         X_dev = device_features(graph.x)
         c_tables = [
             jnp.zeros(
-                (self.ms.num_branches[l], graph.num_nodes + 1), jnp.int16
+                (graph.num_nodes + 1, self.ms.num_branches[l]), jnp.int16
             )
             for l in range(self.ms.num_layers)
         ]

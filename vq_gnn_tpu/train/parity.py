@@ -1,0 +1,124 @@
+"""VQ-vs-exact convergence parity harness.
+
+The paper's central claim (arXiv:2110.14363; SURVEY §0) is that VQ-GNN
+mini-batch training converges to the same accuracy as exact full-graph
+training.  The reference repo never tests this — its only acceptance
+mechanism is the OGB evaluator on real downloads (SURVEY §4), which this
+container cannot fetch (zero egress).  This harness validates the claim
+offline on synthetic SBM graphs at configurable scale:
+
+- **exact control**: the same LowRankGNN, optimizer, schedule, and seed,
+  trained full-graph.  One batch covering every node means B' is empty, all
+  messages use exact features, and the codebooks never enter the forward;
+  ``ce_only`` drops the ``info_backward`` term.  This is exact full-graph
+  gradient descent through the identical model code path.
+- **VQ run**: the mini-batch config under test (cluster/cont/... sampler,
+  ``vq_update_mode='live'``), i.e. the paper algorithm.
+
+``tests/test_parity_convergence.py`` asserts the gap on CI-sized graphs for
+GCN/SAGE/GAT; ``tools/parity_experiment.py`` runs the arxiv-scale version on
+real hardware.  The real-data protocol to reproduce the reference's OGB runs
+(``/root/reference/README.md:18-106``) is documented in REAL_DATA.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from vq_gnn_tpu.config import Config
+from vq_gnn_tpu.graph.datasets import prepare
+from vq_gnn_tpu.graph.store import HostGraph
+from vq_gnn_tpu.train.loop import NodeTrainer
+
+
+def exact_config(cfg: Config, num_nodes: int) -> Config:
+    """Derive the exact full-graph control config from a VQ config.
+
+    node sampler with batch_size == num_nodes -> a single batch containing
+    the whole graph (B' empty, all edges in-batch); ce_only drops the
+    gradient-recovery term; 'reference' update mode freezes the (unused)
+    codebooks so no VQ work is done.
+    """
+    return dataclasses.replace(
+        cfg,
+        sampler_type="node",
+        batch_size=num_nodes,
+        test_batch_size=num_nodes,
+        num_parts=1,
+        ce_only=True,
+        vq_update_mode="reference",
+        warm_up=False,
+    )
+
+
+def train_to_acc(
+    graph_fn: Callable[[], Tuple[HostGraph, int]],
+    cfg: Config,
+    epochs: int,
+    eval_every: int = 1,
+    verbose: bool = False,
+) -> Dict[str, float]:
+    """Train one config from scratch; return best-by-valid statistics.
+
+    graph_fn must return a *fresh* (HostGraph, num_classes) each call —
+    ``prepare`` normalizes/permutes in place, so exact and VQ runs each get
+    their own copy of the same underlying graph (same generator seed).
+    """
+    g, c = graph_fn()
+    g, c, ci = prepare(g, cfg, c)
+    tr = NodeTrainer(g, cfg, c, cluster_indices=ci)
+    tr.run_init_sweep()
+    history = []
+    t0 = time.time()
+    for epoch in range(1, epochs + 1):
+        loss, loss_cls = tr.train_epoch(epoch)
+        if epoch % eval_every == 0 or epoch == epochs:
+            res = tr.evaluate()
+            tr.logger.add_result(0, res)
+            history.append((epoch, loss_cls) + res)
+            if verbose:
+                print(
+                    f"  epoch {epoch}: loss {loss_cls:.4f} "
+                    f"train {res[0]:.4f} valid {res[1]:.4f} test {res[2]:.4f} "
+                    f"[{time.time() - t0:.1f}s]",
+                    flush=True,
+                )
+    stats = tr.logger.statistics(0)
+    return {
+        "best_valid": stats["highest_valid"] / 100.0,
+        "test_at_best_valid": stats["final_test"] / 100.0,
+        "final_test": history[-1][4],
+        "history": history,
+    }
+
+
+def parity_gap(
+    graph_fn: Callable[[], Tuple[HostGraph, int]],
+    vq_cfg: Config,
+    epochs: int,
+    eval_every: int = 1,
+    exact_epochs: Optional[int] = None,
+    verbose: bool = False,
+) -> Dict[str, object]:
+    """Train exact full-graph and live-VQ mini-batch from the same seed;
+    return both results and the test-accuracy gap (exact - vq)."""
+    num_nodes = graph_fn()[0].num_nodes
+    ex_cfg = exact_config(vq_cfg, num_nodes)
+    if verbose:
+        print(f"[parity] exact full-graph ({vq_cfg.conv_type}) ...", flush=True)
+    exact = train_to_acc(
+        graph_fn, ex_cfg, exact_epochs or epochs, eval_every, verbose
+    )
+    if verbose:
+        print(
+            f"[parity] VQ mini-batch ({vq_cfg.conv_type}/"
+            f"{vq_cfg.sampler_type}) ...",
+            flush=True,
+        )
+    vq = train_to_acc(graph_fn, vq_cfg, epochs, eval_every, verbose)
+    gap = exact["test_at_best_valid"] - vq["test_at_best_valid"]
+    return {"exact": exact, "vq": vq, "gap": float(gap)}

@@ -238,8 +238,8 @@ def make_step_fns(ms: ModelStatic, cfg: Config, multilabel: bool) -> StepFns:
             _, idx = feature_update(
                 st, Xb, batch.batch_idx, ms.vq, valid=batch.valid_B, training=False
             )
-            new_tables[l] = new_tables[l].at[:, batch.batch_idx].set(
-                idx.astype(jnp.int16), mode="drop"
+            new_tables[l] = new_tables[l].at[batch.batch_idx, :].set(
+                idx.T.astype(jnp.int16), mode="drop"
             )
             st = st.replace(c_indices=new_tables[l])
             if ms.formulation == "bm":

@@ -65,7 +65,7 @@ def pairwise_codeword_distances(state: VQState, p: VQParams):
 def approximation_errors(state: VQState, p: VQParams, X_B, batch_idx):
     """||X_B - codebook[c]|| per branch — the reference's
     ``vq_backward_error`` (models.py v2:53-54)."""
-    c = np.asarray(state.c_indices)[:, np.asarray(batch_idx)]  # [nb, B]
+    c = np.asarray(state.c_indices)[np.asarray(batch_idx), :].T  # [nb, B]
     table = np.asarray(state.embedding_output)
     X = np.asarray(X_B)  # [nb, B, D]
     feat = np.take_along_axis(
@@ -78,6 +78,6 @@ def approximation_errors(state: VQState, p: VQParams, X_B, batch_idx):
 
 def assignment_churn(before: VQState, after: VQState) -> np.ndarray:
     """Fraction of nodes whose codeword changed, per branch."""
-    a = np.asarray(before.c_indices)[:, :-1]
-    b = np.asarray(after.c_indices)[:, :-1]
-    return (a != b).mean(axis=1)
+    a = np.asarray(before.c_indices)[:-1, :]
+    b = np.asarray(after.c_indices)[:-1, :]
+    return (a != b).mean(axis=0)
