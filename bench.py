@@ -61,6 +61,7 @@ def main():
         spmm_backend=os.environ.get("VQ_GNN_BENCH_SPMM", "ell"),
         compute_dtype=os.environ.get("VQ_GNN_BENCH_DTYPE", "float32"),
         ell_K=int(os.environ.get("VQ_GNN_BENCH_K", "8")),
+        ell_Kt=int(os.environ.get("VQ_GNN_BENCH_KT", "0")),
     )
 
     path = os.path.join(cfg.data_root, "arxiv.npz")
@@ -88,7 +89,17 @@ def main():
     loader = BatchLoader(g, cfg, train_flag=True, cluster_indices=cluster_indices)
     windows, _ = next(iter(loader))
     batch = windows[0]
-    if batch.edges.ell_val is not None:
+    if batch.edges.tail_row is not None:
+        e = batch.edges
+        E_batch = int(np.asarray(e.head_val != 0).sum()) + int(
+            np.asarray(e.tail_val != 0).sum()
+        )
+        cells = e.head_col.size + e.tail_col.size
+        layout = (
+            f"mixed-ELL K={cfg.ell_K}+{cfg.ell_Kt} Sh={e.head_rowc.shape[0]} "
+            f"St2={e.tail_row.shape[0]} pad={1 - E_batch / cells:.1%}"
+        )
+    elif batch.edges.ell_val is not None:
         E_batch = int(np.asarray(batch.edges.ell_val != 0).sum())
         layout = (
             f"ELL K={cfg.ell_K} S_pad={batch.edges.ell_row.shape[0]} "

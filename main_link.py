@@ -49,6 +49,7 @@ def parse_args():
     p.add_argument("--compute-dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--ell-K", type=int, default=8)
+    p.add_argument("--ell-Kt", type=int, default=0)
     p.add_argument("--ckpt-dir", type=str, default=None)
     p.add_argument("--ckpt-every", type=int, default=50)
     p.add_argument("--resume", action="store_true")
@@ -126,6 +127,7 @@ def main():
         vq_backend=a.vq_backend,
         compute_dtype=a.compute_dtype,
         ell_K=a.ell_K,
+        ell_Kt=a.ell_Kt,
     )
     print(cfg)
     g, split = load_link_data(cfg)

@@ -88,6 +88,10 @@ def parse_args():
     p.add_argument("--ell-K", type=int, default=8,
                    help="edges per slot-ELL row (K); 8 is the v5e sweep "
                         "optimum at arxiv scale")
+    p.add_argument("--ell-Kt", type=int, default=0,
+                   help="mixed-K tail slot width (0 = single-K layout); "
+                        "Kt>0 splits rows into full K-slots + a Kt-wide "
+                        "tail, cutting slot-padding waste")
     p.add_argument("--vq-diagnostics", action="store_true")
     p.add_argument("--ckpt-dir", type=str, default=None)
     p.add_argument("--ckpt-every", type=int, default=50)
@@ -144,6 +148,7 @@ def main():
         matmul_precision=a.matmul_precision,
         compute_dtype=a.compute_dtype,
         ell_K=a.ell_K,
+        ell_Kt=a.ell_Kt,
     )
     print(cfg)
     from vq_gnn_tpu.graph.datasets import get_inductive_data, is_inductive

@@ -202,6 +202,43 @@ def test_bm_e2e_training():
     assert all(0.0 <= r <= 1.0 for r in res)
 
 
+def test_bm_mixed_ell_matches_single_k():
+    """bm formulation (GCN, cont sampler) with the mixed-K layout == single-K:
+    the bm spmm rides the same mixed families as bbprime (only GAT-bm is
+    gated to single-K, its per-branch gat_ell_values needs ell_* slots)."""
+    from vq_gnn_tpu.train.loop import NodeTrainer
+
+    losses, cidx = {}, {}
+    for kt in (0, 2):
+        cfg = Config(
+            dataset="synthetic",
+            formulation="bm",
+            conv_type="GCN",
+            sampler_type="cont",
+            walk_length=2,
+            num_layers=2,
+            hidden_channels=16,
+            num_D=4,
+            num_M=8,
+            batch_size=128,
+            test_batch_size=256,
+            pad_multiple_nodes=64,
+            pad_multiple_edges=512,
+            vq_update_mode="live",
+            lr=0.01,
+            ell_Kt=kt,
+        )
+        g, c = synthetic_sbm(num_nodes=300, num_features=16, seed=5)
+        g, c, _ = prepare(g, cfg, c)
+        tr = NodeTrainer(g, cfg, c)
+        tr.run_init_sweep()
+        losses[kt], _ = tr.train_epoch(1)
+        cidx[kt] = [np.asarray(s.c_indices) for s in tr.state.vq_states]
+    np.testing.assert_allclose(losses[0], losses[2], rtol=1e-5)
+    for a, b in zip(cidx[0], cidx[2]):
+        assert (a == b).mean() > 0.999, "assignments diverged"
+
+
 def test_bm_gat_e2e():
     cfg = Config(
         dataset="synthetic",

@@ -16,7 +16,8 @@ from vq_gnn_tpu.train.step import make_step_fns
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_train_step_matches_single_device():
+@pytest.mark.parametrize("ell_Kt", [0, 2])
+def test_sharded_train_step_matches_single_device(ell_Kt):
     cfg = Config(
         dataset="synthetic",
         conv_type="GCN",
@@ -29,6 +30,7 @@ def test_sharded_train_step_matches_single_device():
         pad_multiple_nodes=64,
         pad_multiple_edges=512,
         vq_update_mode="live",
+        ell_Kt=ell_Kt,
     )
     g, c = synthetic_sbm(num_nodes=400, num_features=16, seed=0)
     g, c, _ = prepare(g, cfg, c)
@@ -55,10 +57,12 @@ def test_sharded_train_step_matches_single_device():
     # near-zero gradients is amplified to ~% of the +/-0.1 update. Compare
     # with a tolerance well under the update magnitude; the VQ state below
     # (driven by the same probe gradients) is held to tight tolerance.
+    # (mixed-K adds one more reduction stage — the compact-head fold — so
+    # its bias-gradient noise reaches ~8e-3; still ~10x under the update.)
     flat1 = jax.tree.leaves(s1.params)
     flat8 = jax.tree.leaves(s8.params)
     for a, b in zip(flat1, flat8):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2)
     for l in range(ms.num_layers):
         np.testing.assert_allclose(
             np.asarray(s1.vq_states[l].embedding),

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from vq_gnn_tpu.ops.spmm import make_edges, spmm
 from vq_gnn_tpu.ops.gat import attention_logits, explosion_scale, gat_edge_values
@@ -161,6 +162,115 @@ def test_ell_spmm_vjp():
     )
     mask = np.asarray(ell.ell_val) != 0
     np.testing.assert_allclose(gv_ell[mask], emap[mask], rtol=1e-4, atol=1e-4)
+
+
+def make_mixed_edges(row, col, val, n, K=4, Kt=2, b_rows=0):
+    from vq_gnn_tpu.ops.spmm import Edges, build_mixed_ell_host
+
+    order = np.argsort(row, kind="stable")
+    r, c, v = row[order], col[order], val[order]
+    deg = np.bincount(r, minlength=n)
+    degc = np.bincount(c, minlength=n)
+    Sh = max(int((deg // K).sum()), 1)
+    St2 = int(np.maximum((deg % K + Kt - 1) // Kt, 1).sum())
+    hrc, hc, hv, hinv, trow, tcol, tval, h_base, t_base, hrg = (
+        build_mixed_ell_host(r, c, v, n, K, Kt, Sh, St2)
+    )
+    to = np.argsort(c, kind="stable")
+    tSh = max(int((degc // K).sum()), 1)
+    tSt2 = int(np.maximum((degc % K + Kt - 1) // Kt, 1).sum())
+    thrc, thc, thv, thinv, ttrow, ttcol, ttval, th_base, tt_base, thrg = (
+        build_mixed_ell_host(c[to], r[to], v[to], n, K, Kt, tSh, tSt2)
+    )
+    e = Edges(
+        head_rowc=jnp.asarray(hrc), head_col=jnp.asarray(hc),
+        head_val=jnp.asarray(hv), head_inv=jnp.asarray(hinv),
+        head_rowg=jnp.asarray(hrg),
+        tail_row=jnp.asarray(trow), tail_col=jnp.asarray(tcol),
+        tail_val=jnp.asarray(tval),
+        t_head_rowc=jnp.asarray(thrc), t_head_col=jnp.asarray(thc),
+        t_head_val=jnp.asarray(thv), t_head_inv=jnp.asarray(thinv),
+        t_head_rowg=jnp.asarray(thrg),
+        t_tail_row=jnp.asarray(ttrow), t_tail_col=jnp.asarray(ttcol),
+        t_tail_val=jnp.asarray(ttval),
+        num_rows=n, dense_rows=True,
+    )
+    if b_rows:
+        e = e.replace(
+            b_rows=b_rows,
+            t_head_b_slots=int(th_base[b_rows]),
+            t_tail_b_slots=int(tt_base[b_rows]),
+        )
+    return e
+
+
+@pytest.mark.parametrize("K,Kt", [(4, 2), (8, 2), (4, 1)])
+def test_mixed_ell_spmm_matches_coo(K, Kt):
+    rng = np.random.RandomState(11)
+    n, nnz, d = 40, 260, 8
+    row, col, val = random_coo(rng, n, n, nnz)
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    coo = make_edges(row, col, val, n)
+    mixed = make_mixed_edges(row, col, val, n, K=K, Kt=Kt)
+    np.testing.assert_allclose(
+        np.asarray(spmm(mixed, x)), np.asarray(spmm(coo, x)), rtol=1e-5, atol=1e-5
+    )
+    g1 = jax.grad(lambda xx: jnp.sum(spmm(coo, xx) ** 3))(x)
+    g2 = jax.grad(lambda xx: jnp.sum(spmm(mixed, xx) ** 3))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
+def test_mixed_ell_backward_truncation():
+    """With b_rows set, dx is exact below b_rows and zero above (the
+    codebook-lookup dead-cotangent contract)."""
+    rng = np.random.RandomState(12)
+    n, nnz, d, b_rows = 48, 300, 4, 32
+    row, col, val = random_coo(rng, n, n, nnz)
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    full = make_mixed_edges(row, col, val, n, K=4, Kt=2)
+    trunc = make_mixed_edges(row, col, val, n, K=4, Kt=2, b_rows=b_rows)
+    g_full = np.asarray(jax.grad(lambda xx: jnp.sum(spmm(full, xx) ** 3))(x))
+    g_tr = np.asarray(jax.grad(lambda xx: jnp.sum(spmm(trunc, xx) ** 3))(x))
+    np.testing.assert_allclose(g_tr[:b_rows], g_full[:b_rows], rtol=1e-4, atol=1e-4)
+    assert (g_tr[b_rows:] == 0).all()
+
+
+def test_gat_conv_mixed_matches_single_k():
+    """The fused GAT conv over the mixed-K layout == single-K: same
+    (agg, rowsum) primals and same gradients wrt x/att/scale."""
+    from vq_gnn_tpu.ops.gat import gat_conv_ell
+
+    rng = np.random.RandomState(13)
+    n, nnz, c = 40, 260, 8
+    row, col, val = random_coo(rng, n, n, nnz)
+    val = np.abs(val)
+    x = jnp.asarray(rng.randn(n, c).astype(np.float32))
+    att_l = jnp.asarray(rng.randn(c + 1).astype(np.float32))
+    att_r = jnp.asarray(rng.randn(c + 1).astype(np.float32))
+    scale = jnp.float32(3.0)
+
+    single = make_ell_edges(row, col, val, n, K=4)
+    mixed = make_mixed_edges(row, col, val, n, K=4, Kt=2)
+
+    def run(e, xx, al, ar, s):
+        agg, rs = gat_conv_ell(e, xx, al, ar, s)
+        return agg, rs
+
+    a1, r1 = run(single, x, att_l, att_r, scale)
+    a2, r2 = run(mixed, x, att_l, att_r, scale)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), rtol=2e-5, atol=2e-5)
+
+    def loss(e, xx, al, ar, s):
+        agg, rs = gat_conv_ell(e, xx, al, ar, s)
+        return jnp.sum((agg / (rs + 1e-16)) ** 2)
+
+    g1 = jax.grad(loss, argnums=(1, 2, 3, 4))(single, x, att_l, att_r, scale)
+    g2 = jax.grad(loss, argnums=(1, 2, 3, 4))(mixed, x, att_l, att_r, scale)
+    for a, b, name in zip(g1, g2, ["dx", "d_attl", "d_attr", "d_scale"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4, err_msg=name
+        )
 
 
 def test_gat_edge_values_dense():

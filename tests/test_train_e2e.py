@@ -147,6 +147,24 @@ def test_single_layer_model():
     assert np.isfinite(loss)
 
 
+def test_mixed_ell_matches_single_k_e2e():
+    """Full live-VQ training with the mixed-K layout (ell_Kt=2) == single-K:
+    same assignments and near-identical losses after an epoch (only the f32
+    summation order of the aggregate differs)."""
+    losses, cidx = {}, {}
+    for kt in (0, 2):
+        cfg = Config(
+            conv_type="GCN", vq_update_mode="live", ell_Kt=kt, **BASE
+        )
+        tr = build(cfg)
+        tr.run_init_sweep()
+        losses[kt], _ = tr.train_epoch(1)
+        cidx[kt] = [np.asarray(s.c_indices) for s in tr.state.vq_states]
+    np.testing.assert_allclose(losses[0], losses[2], rtol=1e-5)
+    for a, b in zip(cidx[0], cidx[2]):
+        assert (a == b).mean() > 0.999, "assignments diverged"
+
+
 def test_pallas_vq_backend_matches_xla_e2e():
     """Full live-VQ training path with the Pallas fused assign + in-VMEM
     lookup == the XLA backend: same c_indices, near-identical losses and

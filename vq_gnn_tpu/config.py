@@ -93,6 +93,16 @@ class Config:
     # Edges per ELL slot (K). Swept on v5e at arxiv scale: K=8 beats 4 and 16
     # (13.17M vs 12.20M/12.64M edges/s) — padding waste vs slot-count balance.
     ell_K: int = 8
+    # Mixed-K tail width (0 = single-K layout, the measured default). When
+    # > 0, each row's edges split into full K-wide HEAD slots (compact rows,
+    # folded back by one gather) + a dense Kt-wide TAIL; cuts K=8 slot
+    # padding 27% -> 7.5% at arxiv degree profile but total slot-rows never
+    # decrease, and on TPU the aggregate is slot-row bound: measured SLOWER
+    # for both GCN (29.7 -> 28.3M edges/s) and GAT (12.1 -> 9.6M) — see
+    # BASELINE.md "Mixed-K ELL". Kept as a tested option for other degree
+    # profiles. All convs except GAT-bm (per-branch gat_ell_values is
+    # single-layout).
+    ell_Kt: int = 0
     # VQ assignment/lookup backend. 'auto' resolves by platform at
     # model-build time: 'pallas_fast' on TPU (the bench default), 'xla'
     # elsewhere. Explicit values: xla | xla_fast | scan | pallas |

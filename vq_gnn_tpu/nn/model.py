@@ -300,7 +300,9 @@ def layer_forward(
         )[None, :]
 
     x_input = jnp.concatenate([x, x_fo], axis=0)  # [dim_pad, C_in]
-    gat_ell = gat and batch.edges.ell_row is not None
+    gat_ell = gat and (
+        batch.edges.ell_row is not None or batch.edges.tail_row is not None
+    )
     if gat and not gat_ell:
         ones = jnp.ones((x_input.shape[0], 1), x_input.dtype)
         x_input = jnp.concatenate([x_input, ones], axis=1)

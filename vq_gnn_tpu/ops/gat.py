@@ -133,10 +133,220 @@ def gat_conv_ell(edges, x, att_l, att_r, scale):
     ar) and sorted segment-sums; d_att and the logit terms of d_x reduce to
     dense matmuls with the per-node d_a sums.  No scatters anywhere.
     """
-    agg, rowsum, _, _, _ = _gat_conv_fwd_impl(
-        edges, x, att_l, att_r, scale, with_neg=False
+    impl = (
+        _gat_conv_fwd_impl_mixed if edges.tail_row is not None
+        else _gat_conv_fwd_impl
     )
+    agg, rowsum, _, _, _ = impl(edges, x, att_l, att_r, scale, with_neg=False)
     return agg, rowsum
+
+
+def _mixed_families(edges, transposed=False):
+    """(rows_for_segsum, rows_global, cols, vals, inv_or_None) per family.
+    Head reduces in its compact row space and folds back through inv; tail
+    reduces directly (dense global rows)."""
+    if transposed:
+        return (
+            (edges.t_head_rowc, edges.t_head_rowg, edges.t_head_col,
+             edges.t_head_val, edges.t_head_inv),
+            (edges.t_tail_row, edges.t_tail_row, edges.t_tail_col,
+             edges.t_tail_val, None),
+        )
+    return (
+        (edges.head_rowc, edges.head_rowg, edges.head_col, edges.head_val,
+         edges.head_inv),
+        (edges.tail_row, edges.tail_row, edges.tail_col, edges.tail_val, None),
+    )
+
+
+def _fold(compact_out, inv):
+    """Gather-add a compact head reduction back to global rows."""
+    return jnp.take(compact_out, inv, axis=0, mode="fill", fill_value=0.0)
+
+
+def _gat_conv_fwd_impl_mixed(edges, x, att_l, att_r, scale, with_neg=True):
+    """Mixed-K forward: same math as _gat_conv_fwd_impl per family, outputs
+    summed across families (head folded through head_inv)."""
+    C = x.shape[1]
+    R = edges.num_rows
+    ar_node = (x @ att_r[:C].astype(x.dtype) + att_r[C]) / scale
+    from vq_gnn_tpu.ops.spmm import pallas_segsum_ok
+    from vq_gnn_tpu.ops.pallas_segsum import segment_sum_sorted
+
+    use_pallas = pallas_segsum_ok(True, C)
+    agg = rowsum = aggn = rsn = None
+    for rows_c, rows_g, cols, vals, inv in _mixed_families(edges):
+        nbrs = jnp.take(x, cols.reshape(-1), axis=0, mode="clip").reshape(
+            cols.shape + (C,)
+        )
+        al_cols = (
+            jnp.einsum("skc,c->sk", nbrs, att_l[:C].astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+            + att_l[C]
+        ) / scale
+        ar_rows = jnp.take(ar_node[:, None], rows_g, axis=0, mode="clip")
+        a = al_cols + ar_rows
+        ev = jnp.exp(jax.nn.leaky_relu(a, NEGATIVE_SLOPE)) * vals
+        evn = ev * (a <= 0) if with_neg else None
+        part = jnp.einsum("sk,skc->sc", ev, nbrs, preferred_element_type=jnp.float32)
+        if use_pallas:
+            a_f, rs_f = segment_sum_sorted(
+                part, rows_c, R, scalar_partials=jnp.sum(ev, axis=1)
+            )
+            if with_neg:
+                partn = jnp.einsum(
+                    "sk,skc->sc", evn, nbrs, preferred_element_type=jnp.float32
+                )
+                an_f, rsn_f = segment_sum_sorted(
+                    partn, rows_c, R, scalar_partials=jnp.sum(evn, axis=1)
+                )
+        else:
+            a_f = jax.ops.segment_sum(
+                part, rows_c, num_segments=R + 1, indices_are_sorted=True
+            )[:R]
+            rs_f = jax.ops.segment_sum(
+                jnp.sum(ev, axis=1), rows_c, num_segments=R + 1,
+                indices_are_sorted=True,
+            )[:R]
+            if with_neg:
+                partn = jnp.einsum(
+                    "sk,skc->sc", evn, nbrs, preferred_element_type=jnp.float32
+                )
+                an_f = jax.ops.segment_sum(
+                    partn, rows_c, num_segments=R + 1, indices_are_sorted=True
+                )[:R]
+                rsn_f = jax.ops.segment_sum(
+                    jnp.sum(evn, axis=1), rows_c, num_segments=R + 1,
+                    indices_are_sorted=True,
+                )[:R]
+        if inv is not None:  # head: fold compact rows back to global
+            a_f = _fold(a_f, inv)
+            rs_f = _fold(rs_f[:, None], inv)[:, 0]
+            if with_neg:
+                an_f = _fold(an_f, inv)
+                rsn_f = _fold(rsn_f[:, None], inv)[:, 0]
+        agg = a_f if agg is None else agg + a_f
+        rowsum = rs_f if rowsum is None else rowsum + rs_f
+        if with_neg:
+            aggn = an_f if aggn is None else aggn + an_f
+            rsn = rsn_f if rsn is None else rsn + rsn_f
+    return agg, rowsum[:, None], aggn, rsn, ar_node
+
+
+def _gat_conv_bwd_mixed(res, g):
+    """Mixed-K backward: the transposed recompute runs per family; dx and
+    d_al fold the head family's compact reductions back through t_head_inv.
+    d_ar keeps the closed form from the (family-summed) forward aggregates."""
+    edges, x, att_l, att_r, scale, agg, rowsum, aggn, rsn, ar_node = res
+    g_agg, g_rowsum = g
+    C = x.shape[1]
+    R = edges.num_rows
+    gs = x.dtype
+    g_agg_s = g_agg.astype(gs)
+    attl_v = att_l[:C].astype(gs)
+    from vq_gnn_tpu.ops.spmm import pallas_segsum_ok
+    from vq_gnn_tpu.ops.pallas_segsum import segment_sum_sorted
+
+    use_pallas = pallas_segsum_ok(True, C)
+    C1 = min(128, C)
+    W = C - C1 + 2
+    g_lo = g_agg_s[:, :C1]
+    g_hi = jnp.concatenate(
+        [g_agg_s[:, C1:], g_rowsum.astype(gs), ar_node[:, None].astype(gs)],
+        axis=1,
+    )
+    e_ar = jnp.zeros((W,), jnp.float32).at[W - 1].set(1.0)
+
+    dx = None
+    d_al_node = None
+    d_scale = 0.0
+    for rows_c, rows_g, cols, vals, inv in _mixed_families(edges, transposed=True):
+        St, Kt = cols.shape
+        idx_t = cols.reshape(-1)
+        gl, gh = jax.lax.optimization_barrier(
+            (
+                jnp.take(g_lo, idx_t, axis=0, mode="clip"),
+                jnp.take(g_hi, idx_t, axis=0, mode="clip"),
+            )
+        )
+        g_t_lo = gl.reshape(St, Kt, C1)
+        gh3 = gh.reshape(St, Kt, W)
+        ar_t = jnp.einsum(
+            "skc,c->sk", gh3, e_ar.astype(gs), preferred_element_type=jnp.float32
+        )
+        x_rows_t = jnp.take(x, rows_g, axis=0, mode="clip")  # [St, C]
+        al_t = (x_rows_t @ attl_v + jnp.asarray(att_l[C], jnp.float32)) / scale
+        a_t = al_t[:, None] + ar_t
+        ev_t = jnp.exp(jax.nn.leaky_relu(a_t, NEGATIVE_SLOPE)) * vals
+        dx_part = jnp.concatenate(
+            [
+                jnp.einsum("sk,skc->sc", ev_t, g_t_lo,
+                           preferred_element_type=jnp.float32),
+                jnp.einsum("sk,skc->sc", ev_t, gh3,
+                           preferred_element_type=jnp.float32)[:, : C - C1],
+            ],
+            axis=1,
+        )
+        x_hi_pad = jnp.concatenate(
+            [x_rows_t[:, C1:], jnp.ones((St, 1), gs), jnp.zeros((St, 1), gs)],
+            axis=1,
+        )
+        g_ev_t = (
+            jnp.einsum("skc,sc->sk", g_t_lo, x_rows_t[:, :C1],
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("skc,sc->sk", gh3, x_hi_pad,
+                         preferred_element_type=jnp.float32)
+        )
+        d_a_t = g_ev_t * ev_t * jnp.where(a_t > 0, 1.0, NEGATIVE_SLOPE)
+        d_scale = d_scale - jnp.sum(d_a_t * a_t) / scale
+        if use_pallas:
+            dx_f, d_al_f = segment_sum_sorted(
+                dx_part, rows_c, R, scalar_partials=jnp.sum(d_a_t, axis=1)
+            )
+        else:
+            dx_f = jax.ops.segment_sum(
+                dx_part, rows_c, num_segments=R + 1, indices_are_sorted=True
+            )[:R]
+            d_al_f = jax.ops.segment_sum(
+                jnp.sum(d_a_t, axis=1), rows_c, num_segments=R + 1,
+                indices_are_sorted=True,
+            )[:R]
+        if inv is not None:
+            dx_f = _fold(dx_f, inv)
+            d_al_f = _fold(d_al_f[:, None], inv)[:, 0]
+        dx = dx_f if dx is None else dx + dx_f
+        d_al_node = d_al_f if d_al_node is None else d_al_node + d_al_f
+
+    # d_ar: closed form from the family-summed forward aggregates
+    g_af = g_agg.astype(jnp.float32)
+    g_rsf = g_rowsum[:, 0].astype(jnp.float32)
+    base = jnp.einsum(
+        "rc,rc->r", g_af, agg, preferred_element_type=jnp.float32
+    ) + g_rsf * rowsum[:, 0]
+    negp = jnp.einsum(
+        "rc,rc->r", g_af, aggn, preferred_element_type=jnp.float32
+    ) + g_rsf * rsn
+    d_ar_node = base - (1.0 - NEGATIVE_SLOPE) * negp
+
+    xf = x.astype(jnp.float32)
+    dx = (
+        dx
+        + d_al_node[:, None] * (att_l[None, :C] / scale)
+        + d_ar_node[:, None] * (att_r[None, :C] / scale)
+    ).astype(x.dtype)
+    d_attl = jnp.concatenate(
+        [(d_al_node @ xf) / scale, (jnp.sum(d_al_node) / scale)[None]]
+    ).astype(att_l.dtype)
+    d_attr = jnp.concatenate(
+        [(d_ar_node @ xf) / scale, (jnp.sum(d_ar_node) / scale)[None]]
+    ).astype(att_r.dtype)
+    return (
+        jax.tree.map(jnp.zeros_like, edges),
+        dx,
+        d_attl,
+        d_attr,
+        d_scale.astype(jnp.result_type(scale)),
+    )
 
 
 def _gat_conv_fwd_impl(edges, x, att_l, att_r, scale, with_neg=True):
@@ -214,15 +424,19 @@ def _gat_conv_fwd_impl(edges, x, att_l, att_r, scale, with_neg=True):
 
 
 def _gat_conv_vjp_fwd(edges, x, att_l, att_r, scale):
-    agg, rowsum, aggn, rsn, ar_node = _gat_conv_fwd_impl(
-        edges, x, att_l, att_r, scale
+    impl = (
+        _gat_conv_fwd_impl_mixed if edges.tail_row is not None
+        else _gat_conv_fwd_impl
     )
+    agg, rowsum, aggn, rsn, ar_node = impl(edges, x, att_l, att_r, scale)
     return (agg, rowsum), (
         edges, x, att_l, att_r, scale, agg, rowsum, aggn, rsn, ar_node
     )
 
 
 def _gat_conv_vjp_bwd(res, g):
+    if res[0].tail_row is not None:
+        return _gat_conv_bwd_mixed(res, g)
     edges, x, att_l, att_r, scale, agg, rowsum, aggn, rsn, ar_node = res
     g_agg, g_rowsum = g
     C = x.shape[1]

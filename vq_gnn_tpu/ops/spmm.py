@@ -65,6 +65,36 @@ class Edges(struct.PyTreeNode):
     # its backward reduce d_alpha with sorted segment-sums in both layouts.
     t_from_f: Optional[jnp.ndarray] = None  # [St_pad, K] int32
     f_from_t: Optional[jnp.ndarray] = None  # [S_pad, K] int32
+    # ---- mixed-K layout (single-K ELL wastes ~33% of gathered cells as
+    # slot padding at K=8 on arxiv-degree graphs; splitting each row's edges
+    # into full K-slots + a narrow-K tail cuts that to ~7%) ----
+    # HEAD family: only the full K-wide slots, in a COMPACT row numbering
+    # (rank among rows owning >= 1 full slot) so sorted rows stay gap-free
+    # for the windowed Pallas segment-sum; head_inv maps global row ->
+    # compact id (sentinel num_rows -> fill-0 gather).
+    head_rowc: Optional[jnp.ndarray] = None  # [Sh_pad] int32 compact, ascending
+    head_col: Optional[jnp.ndarray] = None  # [Sh_pad, K] int32
+    head_val: Optional[jnp.ndarray] = None  # [Sh_pad, K] f32
+    head_inv: Optional[jnp.ndarray] = None  # [num_rows] int32
+    head_rowg: Optional[jnp.ndarray] = None  # [Sh_pad] int32 GLOBAL rows (GAT)
+    # TAIL family: remainder edges in Kt-wide slots, global rows, dense
+    # (every row owns >= 1 tail slot) -> windowed segsum directly.
+    tail_row: Optional[jnp.ndarray] = None  # [St2_pad] int32 global, ascending
+    tail_col: Optional[jnp.ndarray] = None  # [St2_pad, Kt] int32
+    tail_val: Optional[jnp.ndarray] = None  # [St2_pad, Kt] f32
+    # transposed-direction mixed families (for the backward dx pass)
+    t_head_rowc: Optional[jnp.ndarray] = None
+    t_head_col: Optional[jnp.ndarray] = None
+    t_head_val: Optional[jnp.ndarray] = None
+    t_head_inv: Optional[jnp.ndarray] = None
+    t_head_rowg: Optional[jnp.ndarray] = None
+    t_tail_row: Optional[jnp.ndarray] = None
+    t_tail_col: Optional[jnp.ndarray] = None
+    t_tail_val: Optional[jnp.ndarray] = None
+    # truncation prefix bounds for the mixed transposed families (see
+    # b_rows/t_b_slots below; 0 = no truncation)
+    t_head_b_slots: int = struct.field(pytree_node=False, default=0)
+    t_tail_b_slots: int = struct.field(pytree_node=False, default=0)
     num_rows: int = struct.field(pytree_node=False, default=0)
     # True when the ELL builder guaranteed every row in [0, num_rows) owns
     # >= 1 slot (empty rows get a zero-valued dustbin-col slot).  Gap-free
@@ -144,9 +174,33 @@ def _ell_sddmm(ell_row, ell_col, g, x):
     )
 
 
+def _mixed_matvec(
+    head_rowc, head_col, head_val, head_inv,
+    tail_row, tail_col, tail_val,
+    x, num_rows, out_rows=None,
+):
+    """Mixed-K aggregate: tail family reduces directly in the (dense) global
+    row space; the head family reduces in its compact row space and is folded
+    in with one row gather through head_inv (sentinel num_rows -> fill 0).
+    ``out_rows`` < num_rows truncates the output (backward b_rows path) —
+    head output stays full-width because compact ids of rows >= out_rows are
+    simply never gathered."""
+    R = num_rows if out_rows is None else out_rows
+    out = _ell_matvec(tail_row, tail_col, tail_val, x, R, dense_rows=True)
+    head = _ell_matvec(head_rowc, head_col, head_val, x, num_rows, dense_rows=True)
+    inv = head_inv if out_rows is None else head_inv[:out_rows]
+    return out + jnp.take(head, inv, axis=0, mode="fill", fill_value=0.0)
+
+
 @jax.custom_vjp
 def spmm(edges: Edges, x: jnp.ndarray) -> jnp.ndarray:
     """out[r] = sum_e 1[row_e == r] * val_e * x[col_e]  ->  [num_rows, D]."""
+    if edges.tail_row is not None:
+        return _mixed_matvec(
+            edges.head_rowc, edges.head_col, edges.head_val, edges.head_inv,
+            edges.tail_row, edges.tail_col, edges.tail_val,
+            x, edges.num_rows,
+        )
     if edges.ell_row is not None:
         return _ell_matvec(
             edges.ell_row, edges.ell_col, edges.ell_val, x, edges.num_rows,
@@ -162,6 +216,35 @@ def _spmm_fwd(edges: Edges, x: jnp.ndarray):
 def _spmm_bwd(res, g):
     edges, x = res
     num_cols = x.shape[0]
+    if edges.tail_row is not None:
+        g_s = g.astype(x.dtype) if x.dtype != g.dtype else g
+        tbt, tbh = edges.t_tail_b_slots, edges.t_head_b_slots
+        if edges.b_rows and tbt and tbt < edges.t_tail_row.shape[0]:
+            # truncated dx: tail prefix rows clamp ride-overs to the b_rows
+            # dustbin; head prefix needs no clamp — compact ids of rows
+            # >= b_rows are never gathered by t_head_inv[:b_rows]
+            dx_b = _mixed_matvec(
+                edges.t_head_rowc[:tbh], edges.t_head_col[:tbh],
+                edges.t_head_val[:tbh], edges.t_head_inv,
+                jnp.minimum(edges.t_tail_row[:tbt], edges.b_rows),
+                edges.t_tail_col[:tbt], edges.t_tail_val[:tbt],
+                g_s, num_cols, out_rows=edges.b_rows,
+            )
+            dx = jnp.concatenate(
+                [dx_b, jnp.zeros((num_cols - edges.b_rows, dx_b.shape[1]),
+                                 dx_b.dtype)]
+            ).astype(x.dtype)
+        else:
+            dx = _mixed_matvec(
+                edges.t_head_rowc, edges.t_head_col, edges.t_head_val,
+                edges.t_head_inv,
+                edges.t_tail_row, edges.t_tail_col, edges.t_tail_val,
+                g_s, num_cols,
+            ).astype(x.dtype)
+        # no d val on the mixed path: GCN/SAGE adjacency values are constants
+        # (GAT, which differentiates edge values, uses gat_conv_ell instead)
+        d_edges = jax.tree.map(jnp.zeros_like, edges)
+        return d_edges, dx
     if edges.ell_row is not None:
         if edges.t_ell_row is None:
             raise ValueError("ELL edges need t_ell_* for the backward pass")
@@ -272,6 +355,76 @@ def build_ell_host(row, col, val, num_rows: int, K: int, S_pad: int = 0):
     ell_col[sid, k] = col
     ell_val[sid, k] = val
     return ell_row, ell_col, ell_val
+
+
+def build_mixed_ell_host(
+    row, col, val, num_rows: int, K: int, Kt: int, Sh_pad: int, St2_pad: int
+):
+    """Host-side mixed-K construction from row-sorted COO (numpy).
+
+    Per row: the first ``floor(deg/K)*K`` edges fill full K-wide HEAD slots;
+    the remainder goes to Kt-wide TAIL slots.  Head slots carry a COMPACT row
+    id (rank among rows with >= 1 head slot; gap-free ascending); tail rows
+    are global and DENSE (every one of ``num_rows`` rows owns >= 1 tail slot,
+    zero-valued when empty).  Returns
+    (head_rowc [Sh_pad], head_col/val [Sh_pad, K], head_inv [num_rows],
+     tail_row [St2_pad], tail_col/val [St2_pad, Kt]).
+    Padding: head_rowc -> n_head_rows (unwritten compact rows are never
+    gathered), head_inv -> num_rows sentinel (fill-0 gather), tail sentinels
+    as build_ell_host.
+    """
+    import numpy as np
+
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    val = np.asarray(val, np.float32)
+    deg = np.bincount(row, minlength=num_rows)
+    starts = np.concatenate([[0], np.cumsum(deg)])
+    pos = np.arange(len(row)) - starts[row]
+
+    nh = deg // K  # full head slots per row
+    head_rows = np.flatnonzero(nh > 0)
+    n_head_rows = len(head_rows)
+    rank = np.full(num_rows, num_rows, np.int64)  # sentinel = num_rows
+    rank[head_rows] = np.arange(n_head_rows)
+    h_base = np.concatenate([[0], np.cumsum(nh)])
+    Sh = int(h_base[-1])
+    if Sh > Sh_pad:
+        raise ValueError(f"head slots {Sh} exceed Sh_pad={Sh_pad}")
+
+    in_head = pos < nh[row] * K
+    hr, hp = row[in_head], pos[in_head]
+    h_sid = h_base[hr] + hp // K
+    head_rowc = np.full(Sh_pad, n_head_rows, np.int32)
+    head_rowc[:Sh] = np.repeat(rank[head_rows], nh[head_rows]).astype(np.int32)
+    head_rowg = np.full(Sh_pad, num_rows, np.int32)  # global rows (GAT logits)
+    head_rowg[:Sh] = np.repeat(head_rows, nh[head_rows]).astype(np.int32)
+    head_col = np.full((Sh_pad, K), num_rows, np.int32)
+    head_val = np.zeros((Sh_pad, K), np.float32)
+    head_col[h_sid, hp % K] = col[in_head]
+    head_val[h_sid, hp % K] = val[in_head]
+
+    rem = deg - nh * K
+    nt = np.maximum((rem + Kt - 1) // Kt, 1)  # dense: >= 1 tail slot per row
+    t_base = np.concatenate([[0], np.cumsum(nt)])
+    St2 = int(t_base[-1])
+    if St2 > St2_pad:
+        raise ValueError(f"tail slots {St2} exceed St2_pad={St2_pad}")
+    tr, tp = row[~in_head], pos[~in_head] - nh[row[~in_head]] * K
+    t_sid = t_base[tr] + tp // Kt
+    tail_row = np.full(St2_pad, num_rows, np.int32)
+    tail_row[:St2] = np.repeat(np.arange(num_rows), nt).astype(np.int32)
+    tail_col = np.full((St2_pad, Kt), num_rows, np.int32)
+    tail_val = np.zeros((St2_pad, Kt), np.float32)
+    tail_col[t_sid, tp % Kt] = col[~in_head]
+    tail_val[t_sid, tp % Kt] = val[~in_head]
+
+    # h_base/t_base: per-family slot counts below each row (cumsum), for the
+    # backward-truncation prefix bounds (slots with global row < b_rows)
+    return (
+        head_rowc, head_col, head_val, rank.astype(np.int32),
+        tail_row, tail_col, tail_val, h_base, t_base, head_rowg,
+    )
 
 
 def ell_positions(row_sorted, K: int, num_rows: int = 0):

@@ -130,6 +130,22 @@ def shard_train_inputs(mesh: Mesh, state, X_dev, batch):
         t_ell_row=_put(edges.t_ell_row, rows),
         t_ell_col=_put(edges.t_ell_col, rows),
         t_ell_val=_put(edges.t_ell_val, rows),
+        head_rowc=_put(edges.head_rowc, rows),
+        head_col=_put(edges.head_col, rows),
+        head_val=_put(edges.head_val, rows),
+        head_inv=_put(edges.head_inv, rows),
+        head_rowg=_put(edges.head_rowg, rows),
+        tail_row=_put(edges.tail_row, rows),
+        tail_col=_put(edges.tail_col, rows),
+        tail_val=_put(edges.tail_val, rows),
+        t_head_rowc=_put(edges.t_head_rowc, rows),
+        t_head_col=_put(edges.t_head_col, rows),
+        t_head_val=_put(edges.t_head_val, rows),
+        t_head_inv=_put(edges.t_head_inv, rows),
+        t_head_rowg=_put(edges.t_head_rowg, rows),
+        t_tail_row=_put(edges.t_tail_row, rows),
+        t_tail_col=_put(edges.t_tail_col, rows),
+        t_tail_val=_put(edges.t_tail_val, rows),
     )
     batch_s = batch.replace(
         batch_idx=_put(batch.batch_idx, rows),

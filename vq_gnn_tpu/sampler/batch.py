@@ -85,6 +85,8 @@ def build_padded_batch(
     bm_rev=None,
     R_pad: int = 0,
     t_b_bucket: Optional[dict] = None,
+    ell_Kt: int = 0,
+    mixed_pads: Optional[tuple] = None,  # (Sh, St2, tSh, tSt2)
 ) -> PaddedBatch:
     """Pad a host-built subgraph batch to static shapes.
 
@@ -114,7 +116,53 @@ def build_padded_batch(
     order = np.argsort(r, kind="stable")
     rs, cs, vs = r[order], c[order], v[order]
 
-    if ell_K > 0:
+    if ell_Kt > 0:
+        # mixed-K slot-ELL: full K-wide head slots (compact rows) + Kt-wide
+        # dense tail — ~28% fewer gathered cells than single-K at K=8
+        from vq_gnn_tpu.ops.spmm import build_mixed_ell_host
+
+        Sh_pad, St2_pad, tSh_pad, tSt2_pad = mixed_pads
+        hrc, hc, hv, hinv, trow, tcol, tval, h_base, t_base, hrg = (
+            build_mixed_ell_host(rs, cs, vs, dim_pad, ell_K, ell_Kt, Sh_pad, St2_pad)
+        )
+        t_order = np.argsort(cs, kind="stable")
+        thrc, thc, thv, thinv, ttrow, ttcol, ttval, th_base, tt_base, thrg = (
+            build_mixed_ell_host(
+                cs[t_order], rs[t_order], vs[t_order], dim_pad, ell_K, ell_Kt,
+                tSh_pad, tSt2_pad,
+            )
+        )
+        edges = Edges(
+            head_rowc=np.asarray(hrc), head_col=np.asarray(hc),
+            head_val=np.asarray(hv), head_inv=np.asarray(hinv),
+            head_rowg=np.asarray(hrg),
+            tail_row=np.asarray(trow), tail_col=np.asarray(tcol),
+            tail_val=np.asarray(tval),
+            t_head_rowc=np.asarray(thrc), t_head_col=np.asarray(thc),
+            t_head_val=np.asarray(thv), t_head_inv=np.asarray(thinv),
+            t_head_rowg=np.asarray(thrg),
+            t_tail_row=np.asarray(ttrow), t_tail_col=np.asarray(ttcol),
+            t_tail_val=np.asarray(ttval),
+            num_rows=dim_pad,
+            dense_rows=True,
+        )
+        if t_b_bucket is not None:
+            # per-family truncation prefixes (slots with global row < B_pad);
+            # monotone buckets keep the static shapes stable across batches
+            ms = max(t_b_bucket.get("multiple", 2048), 64)
+            for key, bound, cap in (
+                ("vh", int(th_base[B_pad]), tSh_pad),
+                ("vt", int(tt_base[B_pad]), tSt2_pad),
+            ):
+                b = ((bound + ms - 1) // ms) * ms
+                t_b_bucket[key] = max(t_b_bucket.get(key, 0), b)
+            tbh = min(t_b_bucket["vh"], tSh_pad)
+            tbt = min(t_b_bucket["vt"], tSt2_pad)
+            if tbt < tSt2_pad or tbh < tSh_pad:
+                edges = edges.replace(
+                    b_rows=B_pad, t_head_b_slots=tbh, t_tail_b_slots=tbt
+                )
+    elif ell_K > 0:
         # slot-ELL (primary TPU layout) for forward and transposed graphs
         from vq_gnn_tpu.ops.spmm import build_ell_host
 

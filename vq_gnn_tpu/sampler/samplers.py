@@ -367,6 +367,27 @@ class BatchLoader:
         self._E_bucket = max(self._E_bucket, round_up(max(E, 1), me))
         return self._B_bucket, self._Bp_bucket, self._E_bucket
 
+    def _mixed_slot_pads(self, er, K, Kt, dim_pad, attr):
+        """(Sh_pad, St2_pad) for the mixed-K families (head full K-slots,
+        dense Kt tail) — monotone high-water buckets like _slot_pad."""
+        ms = max(self.cfg.pad_multiple_edges // K, 64)
+        mst = max(self.cfg.pad_multiple_edges // Kt, 64)
+        if self.cfg.fixed_B_pad:
+            dim = self.cfg.fixed_B_pad + self.cfg.fixed_Bp_pad
+            sh = round_up(self.cfg.fixed_E_pad // K + 1, ms)
+            st = round_up(dim + self.cfg.fixed_E_pad // Kt + 1, mst)
+            return sh, st
+        deg = np.bincount(er, minlength=dim_pad)
+        Sh = int((deg // K).sum())
+        St2 = int(np.maximum((deg % K + Kt - 1) // Kt, 1).sum())
+        b = getattr(self, attr, (0, 0))
+        bucket = (
+            max(b[0], round_up(max(Sh, 1), ms)),
+            max(b[1], round_up(max(St2, 1), mst)),
+        )
+        setattr(self, attr, bucket)
+        return bucket
+
     def _slot_pad(self, er, K, dim_pad, attr):
         ms = max(self.cfg.pad_multiple_edges // K, 64)
         if self.cfg.fixed_B_pad:
@@ -403,8 +424,23 @@ class BatchLoader:
                 self.rowptr, self.col, self.val, node_idx, self.N, self.train_flag
             )
         B_pad, Bp_pad, E_pad = self._pad_sizes(len(node_idx), len(fo_ids), len(er))
-        ell_K = S_pad = St_pad = 0
-        if self.cfg.spmm_backend == "ell":
+        ell_K = S_pad = St_pad = ell_Kt = 0
+        mixed_pads = None
+        # mixed-K: plain spmm convs AND the fused GAT kernel (both recompute
+        # the transposed side from scratch, so no cross-layout maps needed);
+        # the bm GAT branch is per-branch gat_ell_values and keeps single-K
+        use_mixed = (
+            self.cfg.spmm_backend == "ell"
+            and self.cfg.ell_Kt > 0
+            and not (self.cfg.conv_type == "GAT" and self.cfg.formulation == "bm")
+        )
+        if use_mixed:
+            ell_K, ell_Kt = self.cfg.ell_K, self.cfg.ell_Kt
+            dim_pad = B_pad + Bp_pad
+            sh, st2 = self._mixed_slot_pads(er, ell_K, ell_Kt, dim_pad, "_Sm_bucket")
+            tsh, tst2 = self._mixed_slot_pads(ec, ell_K, ell_Kt, dim_pad, "_Stm_bucket")
+            mixed_pads = (sh, st2, tsh, tst2)
+        elif self.cfg.spmm_backend == "ell":
             ell_K = self.cfg.ell_K
             dim_pad = B_pad + Bp_pad
             S_pad = self._slot_pad(er, ell_K, dim_pad, "_S_bucket")
@@ -448,6 +484,8 @@ class BatchLoader:
             bm_rev=rev,
             R_pad=self._rev_pad(rev),
             t_b_bucket=self._tb_bucket if use_tb else None,
+            ell_Kt=ell_Kt,
+            mixed_pads=mixed_pads,
         )
 
     def _rev_pad(self, rev):
