@@ -112,6 +112,27 @@ def _gat_ell_vjp_bwd(res, g):
 gat_ell_values.defvjp(_gat_ell_vjp_fwd, _gat_ell_vjp_bwd)
 
 
+def _gat_d_ar_closed_form(g_agg, g_rowsum, agg, rowsum, aggn, rsn):
+    """d_ar per node from row-local forward aggregates (no per-cell work):
+    sum_cells(r) g_ev*ev*slope'(a) = <g_agg, agg> + g_rs*rowsum
+    - (1-slope)*(<g_agg, aggn> + g_rs*rsn).
+
+    Precision note: the two dots cancel almost exactly when nearly all of a
+    row's logits are <= 0 (both agree up to the leaky slope), degrading
+    relative accuracy vs a per-cell summation.  Random-data parity holds at
+    rtol 2e-4; only adversarial all-negative-logit rows sit in the
+    cancellation regime."""
+    g_af = g_agg.astype(jnp.float32)
+    g_rsf = g_rowsum[:, 0].astype(jnp.float32)
+    base = jnp.einsum(
+        "rc,rc->r", g_af, agg, preferred_element_type=jnp.float32
+    ) + g_rsf * rowsum[:, 0]
+    negp = jnp.einsum(
+        "rc,rc->r", g_af, aggn, preferred_element_type=jnp.float32
+    ) + g_rsf * rsn
+    return base - (1.0 - NEGATIVE_SLOPE) * negp
+
+
 # ---------------------------------------------------------------------------
 # fully-fused GAT conv: attention + aggregate + ones-normalizer in one VJP
 # ---------------------------------------------------------------------------
@@ -318,15 +339,7 @@ def _gat_conv_bwd_mixed(res, g):
         d_al_node = d_al_f if d_al_node is None else d_al_node + d_al_f
 
     # d_ar: closed form from the family-summed forward aggregates
-    g_af = g_agg.astype(jnp.float32)
-    g_rsf = g_rowsum[:, 0].astype(jnp.float32)
-    base = jnp.einsum(
-        "rc,rc->r", g_af, agg, preferred_element_type=jnp.float32
-    ) + g_rsf * rowsum[:, 0]
-    negp = jnp.einsum(
-        "rc,rc->r", g_af, aggn, preferred_element_type=jnp.float32
-    ) + g_rsf * rsn
-    d_ar_node = base - (1.0 - NEGATIVE_SLOPE) * negp
+    d_ar_node = _gat_d_ar_closed_form(g_agg, g_rowsum, agg, rowsum, aggn, rsn)
 
     xf = x.astype(jnp.float32)
     dx = (
@@ -352,6 +365,23 @@ def _gat_conv_bwd_mixed(res, g):
 def _gat_conv_fwd_impl(edges, x, att_l, att_r, scale, with_neg=True):
     C = x.shape[1]
     R = edges.num_rows
+    from vq_gnn_tpu.ops.spmm import ell_fused_ok
+
+    if ell_fused_ok(edges.dense_rows, edges.ell_row.shape[0], C):
+        # one VMEM pass over the gathered block: logits (MXU) + exp +
+        # ev-weighted K-reduce + windowed segment-sum, incl. the masked
+        # backward channel and the ones-normalizer scalars; ar comes from
+        # the contiguous row window (no separate [S, 1] gather)
+        from vq_gnn_tpu.ops.pallas_ell import gat_aggregate_fused
+
+        ar_node = (x @ att_r[:C].astype(x.dtype) + att_r[C]) / scale
+        agg, rowsum, aggn, rsn = gat_aggregate_fused(
+            jnp.take(x, edges.ell_col.reshape(-1), axis=0, mode="clip"),
+            edges.ell_row, edges.ell_val,
+            ar_node[:R].astype(jnp.float32), att_l[:C], att_l[C], scale,
+            R, with_neg=with_neg,
+        )
+        return agg, rowsum[:, None], aggn, rsn, ar_node
     nbrs = jnp.take(x, edges.ell_col.reshape(-1), axis=0, mode="clip").reshape(
         edges.ell_col.shape + (C,)
     )  # [S, K, C]
@@ -469,6 +499,49 @@ def _gat_conv_vjp_bwd(res, g):
         [g_agg_s[:, C1:], g_rowsum.astype(gs), ar_node[:, None].astype(gs)],
         axis=1,
     )
+    from vq_gnn_tpu.ops.spmm import ell_fused_ok
+
+    if C % 128 == 0 and ell_fused_ok(edges.dense_rows, St, C):
+        # fused tile: everything between the cotangent gathers and the
+        # segment-sums runs in one VMEM pass (ops/pallas_ell.py).  d_scale
+        # gets an exact closed form below (a is row/col-separable), so no
+        # per-cell d_scale channel is needed.
+        from vq_gnn_tpu.ops.pallas_ell import gat_bwd_fused
+
+        gl = jnp.take(g_lo, idx_t, axis=0, mode="clip")
+        gh = jnp.take(g_hi, idx_t, axis=0, mode="clip")
+        x_rows_t = jnp.take(x, edges.t_ell_row, axis=0, mode="clip")
+        dx_agg, d_al_node = gat_bwd_fused(
+            gl, gh, x_rows_t, edges.t_ell_row, edges.t_ell_val,
+            att_l[:C], att_l[C], scale, R,
+        )
+        xf = x.astype(jnp.float32)
+        d_ar_node = _gat_d_ar_closed_form(g_agg, g_rowsum, agg, rowsum, aggn, rsn)
+        al_node = (xf @ att_l[:C] + att_l[C]) / scale
+        # d_scale = -sum(d_a * a)/scale with a = al[col] + ar[row]:
+        # the cell sum separates into the per-node d_a reductions
+        d_scale = -(
+            jnp.dot(al_node, d_al_node)
+            + jnp.dot(ar_node.astype(jnp.float32), d_ar_node)
+        ) / scale
+        dx = (
+            dx_agg
+            + d_al_node[:, None] * (att_l[None, :C] / scale)
+            + d_ar_node[:, None] * (att_r[None, :C] / scale)
+        ).astype(x.dtype)
+        d_attl = jnp.concatenate(
+            [(d_al_node @ xf) / scale, (jnp.sum(d_al_node) / scale)[None]]
+        ).astype(att_l.dtype)
+        d_attr = jnp.concatenate(
+            [(d_ar_node @ xf) / scale, (jnp.sum(d_ar_node) / scale)[None]]
+        ).astype(att_r.dtype)
+        return (
+            jax.tree.map(jnp.zeros_like, edges),
+            dx,
+            d_attl,
+            d_attr,
+            d_scale.astype(jnp.result_type(scale)),
+        )
     # optimization_barrier: each gather output feeds multiple consumers;
     # without the barrier XLA re-materializes the gather once per consumer
     gl, gh = jax.lax.optimization_barrier(
@@ -536,20 +609,7 @@ def _gat_conv_vjp_bwd(res, g):
 
     # ---- d_ar: closed form from row-local forward aggregates ----
     # (see the forward's aggn/rsn comment; no gather or scatter at all)
-    # Precision note: d_ar = base - (1-slope)*negp cancels almost exactly
-    # when nearly all of a row's logits are <= 0 (both dots then agree up
-    # to the leaky slope), degrading relative accuracy vs the per-cell
-    # summation it replaced.  Random-data parity holds at rtol 2e-4; only
-    # adversarial all-negative-logit rows sit in the cancellation regime.
-    g_af = g_agg.astype(jnp.float32)
-    g_rsf = g_rowsum[:, 0].astype(jnp.float32)
-    base = jnp.einsum(
-        "rc,rc->r", g_af, agg, preferred_element_type=jnp.float32
-    ) + g_rsf * rowsum[:, 0]
-    negp = jnp.einsum(
-        "rc,rc->r", g_af, aggn, preferred_element_type=jnp.float32
-    ) + g_rsf * rsn
-    d_ar_node = base - (1.0 - NEGATIVE_SLOPE) * negp
+    d_ar_node = _gat_d_ar_closed_form(g_agg, g_rowsum, agg, rowsum, aggn, rsn)
 
     # ---- assemble ----
     xf = x.astype(jnp.float32)

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: sorted segment-sum via windowed writes + boundary carry.
+"""Pallas TPU kernel: sorted segment-sum via 8-aligned windowed writes.
 
 Every ELL aggregate in this framework ends in
 ``jax.ops.segment_sum(partials, ell_row, indices_are_sorted=True)``
@@ -6,22 +6,27 @@ Every ELL aggregate in this framework ends in
 runs at ~45 GB/s on TPU (measured: 3 ms for a [266k, 128] -> [151k, 128]
 reduce).  This kernel exploits what XLA ignores — segment ids are sorted and
 the row space is gap-free (every row owns >= 1 slot because the normalized
-adjacency carries self-loops) — so each slot tile touches a *contiguous* row
-window of span < T:
+adjacency carries self-loops) — so a tile of T slots touches a *contiguous*
+row window of span <= T starting at ``r0 = seg[i*T]``:
 
   - sequential grid over slot tiles of T slots;
   - a tile's partials are reduced onto relative row offsets with a one-hot
-    MXU matmul;
-  - the [T, C] result is DMA-written to ``out[r0 : r0+T]`` (dynamic start,
-    static size).  Later tiles overwrite the overlap, so only the boundary
-    row (shared between adjacent tiles) needs care: its running sum rides in
-    a VMEM carry that persists across the sequential grid — no read-modify-
-    write, no scatter;
-  - padding slots (dustbin row == num_rows) carry zero partials, so clamping
-    their relative offset is harmless.
+    MXU matmul (slots stay on the sublane axis; seg ids stream as a [S, 1]
+    column so no 1-D layout rules or lane reshapes apply);
+  - the [T+8, C] window is DMA-written to ``out[r0a : r0a+T+8]`` where
+    ``r0a = (r0 // 8) * 8`` is PROVABLY 8-aligned (scalar-prefetched,
+    ``pl.multiple_of``) — Mosaic rejects unaligned data-dependent window
+    starts ("failed to prove a tile index divisible by the tiling (8)");
+  - alignment makes windows overlap by up to 8 rows that earlier tiles
+    already finalized; each tile re-fills those rows from the previous
+    tile's saved window (a [8, T+8] one-hot matmul against a VMEM copy) so
+    the overwrite is value-identical.  The boundary row (continuing across
+    the tile split) rides in a [1, C] carry as before;
+  - padding slots (dustbin row == num_rows) carry zero partials, so
+    clamping their relative offset is harmless.
 
-HBM traffic = one stream of the partials + one write of the window coverage,
-~6x less than XLA's scatter-add lowering.
+HBM traffic = one stream of the partials + one write of the window
+coverage, ~6x less than XLA's scatter-add lowering.
 """
 
 from __future__ import annotations
@@ -35,64 +40,117 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(has_mat: bool, has_scalar: bool):
+def aligned_window_meta(seg, T: int):
+    """(r0as, prev_eq) scalar-prefetch arrays for the aligned-window scheme:
+    8-aligned window starts and the carry/overlap flags.  ``seg`` must
+    already be padded to a T multiple."""
+    r0s = seg[::T]
+    r0as = (r0s // 8) * 8
+    prev_last = seg[T - 1 :: T]
+    prev_eq = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), (prev_last[:-1] == r0s[1:]).astype(jnp.int32)]
+    )
+    return r0as, prev_eq
+
+
+def make_window_reducer(T: int, seg, r0a, r0a_prev, prev_eq_i):
+    """Shared machinery for the aligned windowed segment-sum.
+
+    ``seg``: [T, 1] ascending tile slot rows.  Returns a ``reduce(part,
+    carry, prev_win) -> rows [T+8, C]`` closure that reduces [T, C] partials
+    onto the [T+8, C] aligned window, re-fills the <=8-row overlap from the
+    previous tile's saved window, maintains the boundary carry and saves the
+    window for the next tile; the caller DMA-writes the rows.
+    """
+    W = T + 8
+    r0 = seg[0, 0]
+    sh = r0 - r0a  # in [0, 8)
+    rel = jnp.clip(seg - r0a, 0, W - 1)  # [T, 1] window-relative rows
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    ohT = (rel == iota_w).astype(jnp.float32)  # [T slots, W rel rows]
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    first_mask = (d_iota == sh) & (prev_eq_i != 0)
+    last_mask = (d_iota == jnp.max(rel)).astype(jnp.float32)  # [W, 1]
+    # overlap refill: window rows d < sh were finalized by earlier tiles and
+    # sit in the previous tile's window at offset d + (r0a - r0a_prev)
+    d8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    ov_oh = (
+        ((d8 + (r0a - r0a_prev)) == iota_w) & (d8 < sh)
+    ).astype(jnp.float32)  # [8, W]
+
+    def reduce(part, carry, prev_win):
+        rows = jax.lax.dot_general(
+            ohT, part.astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [W, C]
+        rows = rows + jnp.where(first_mask, carry[:], 0.0)
+        ov = jax.lax.dot_general(
+            ov_oh, prev_win[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [8, C] rows finalized by earlier tiles (zero where d >= sh)
+        rows = rows + jnp.concatenate(
+            [ov, jnp.zeros((T, rows.shape[1]), jnp.float32)], axis=0
+        )
+        carry[:] = jax.lax.dot_general(
+            last_mask, rows,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        prev_win[:] = rows
+        return rows
+
+    return reduce
+
+
+def _make_kernel(has_mat: bool, has_scalar: bool, T: int):
     """Kernel factory: matrix channel ([T, C] partials -> out [*, C]) and/or
-    a fused scalar channel ([T] partials -> lane-0 of out_s [*, 128]); both
-    share the one-hot reduce, the boundary carry and the window DMA."""
+    a fused scalar channel ([T, 1] partials -> lane 0 of out_s [*, 128]);
+    both share the one-hot reduce, the overlap refill and the carry."""
+    n_ch = has_mat + has_scalar
 
-    def kernel(r0s_ref, prev_eq_ref, seg_ref, *rest):
-        ins = list(rest[: has_mat + has_scalar])
-        outs = list(rest[has_mat + has_scalar : 2 * (has_mat + has_scalar)])
-        scratch = list(rest[2 * (has_mat + has_scalar) :])
+    def kernel(r0as_ref, prev_eq_ref, seg_ref, *rest):
+        ins = list(rest[:n_ch])
+        outs = list(rest[n_ch : 2 * n_ch])
+        scratch = list(rest[2 * n_ch :])
         i = pl.program_id(0)
-        T = seg_ref.shape[0]
-        r0 = r0s_ref[i]
+        r0a = r0as_ref[i]
+        r0a_prev = r0as_ref[jnp.maximum(i - 1, 0)]
+        reduce = make_window_reducer(
+            T, seg_ref[:], r0a, r0a_prev, prev_eq_ref[i]
+        )
 
-        rel = jnp.clip(seg_ref[:] - r0, 0, T - 1)  # [T]
-        iota_rows = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
-        oh = (rel[None, :] == iota_rows).astype(jnp.float32)  # [T rows, T slots]
-        first_mask = (iota_rows == 0) & (prev_eq_ref[i] != 0)
-        last_rel = jnp.clip(seg_ref[T - 1] - r0, 0, T - 1)
-        last_mask = (iota_rows == last_rel).astype(jnp.float32)  # [T, 1]
+        @pl.when(i == 0)
+        def _zero_prev():  # scratch starts uninitialized; 0 * NaN = NaN
+            for c in range(n_ch):
+                scratch[4 * c + 2][:] = jnp.zeros_like(scratch[4 * c + 2])
 
-        def reduce_channel(part, carry):
-            # precision inherits the ambient jax_default_matmul_precision,
-            # matching every other aggregate here: parity/test configs run
-            # 'highest' (exact f32 permutation-sum), the bench runs 'default'
-            rows = jax.lax.dot_general(
-                oh, part.astype(jnp.float32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [T, C]
-            # boundary row: the previous tile's last row continues here
-            rows = rows + jnp.where(first_mask, carry[:], 0.0)
-            # stash this tile's last row (it may continue into the next tile)
-            carry[:] = jax.lax.dot_general(
-                last_mask, rows,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return rows
-
+        r0a_hint = pl.multiple_of(r0a, 8)
         cps = []
         ch = 0
         if has_mat:
-            win, carry, sem = scratch[0], scratch[1], scratch[2]
-            win[:] = reduce_channel(ins[0][:], carry)
-            cp = pltpu.make_async_copy(win, outs[0].at[pl.ds(r0, T)], sem)
+            win, carry, prev_win, sem = scratch[0:4]
+            win[:] = reduce(ins[0][:], carry, prev_win)
+            cp = pltpu.make_async_copy(
+                win, outs[0].at[pl.ds(r0a_hint, T + 8)], sem
+            )
             cp.start()
             cps.append(cp)
             ch = 1
         if has_scalar:
-            win, carry, sem = scratch[3 * ch], scratch[3 * ch + 1], scratch[3 * ch + 2]
-            rows1 = reduce_channel(ins[ch][:][:, None], carry)  # [T, 1]
-            # lane 0 of a [T, 128] window (a 1-lane output would break the
-            # 128-lane DMA tiling)
+            base = 4 * ch
+            win, carry, prev_win, sem = scratch[base : base + 4]
+            rows1 = reduce(ins[ch][:], carry, prev_win)  # [T+8, 1]
+            # scalar rides lane 0 of a 128-lane window (1-lane DMA breaks
+            # the output tiling)
             lane0 = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == 0
             ).astype(jnp.float32)
             win[:] = rows1 * lane0
-            cp = pltpu.make_async_copy(win, outs[ch].at[pl.ds(r0, T)], sem)
+            cp = pltpu.make_async_copy(
+                win, outs[ch].at[pl.ds(r0a_hint, T + 8)], sem
+            )
             cp.start()
             cps.append(cp)
         for cp in cps:
@@ -109,7 +167,6 @@ def _segment_sum_impl(partials, scalar_partials, seg, num_rows, tile, interpret)
     has_scalar = scalar_partials is not None
     S = seg.shape[0]
     T = tile
-    assert T % 1024 == 0, "tile must be a multiple of 1024 (1-D array layout)"
     S_pad = ((S + T - 1) // T) * T
     if S_pad != S:
         if has_mat:
@@ -119,19 +176,15 @@ def _segment_sum_impl(partials, scalar_partials, seg, num_rows, tile, interpret)
         seg = jnp.pad(seg, (0, S_pad - S), constant_values=num_rows)
     n_tiles = S_pad // T
     seg = seg.astype(jnp.int32)
-    r0s = seg[::T]  # [n_tiles] window starts
-    # prev_eq[i]: tile i-1's last row == tile i's first row (carry applies)
-    prev_last = seg[T - 1 :: T]  # [n_tiles] last row of each tile
-    prev_eq = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), (prev_last[:-1] == r0s[1:]).astype(jnp.int32)]
-    )
-    # window [r0, r0+T) must stay in bounds; dustbin tiles start at num_rows
-    R_pad = num_rows + T + 8
+    r0as, prev_eq = aligned_window_meta(seg, T)
+    # window [r0a, r0a+T+8) must stay in bounds; dustbin tiles start at
+    # (num_rows // 8) * 8
+    R_pad = ((num_rows + T + 16) // 8) * 8
 
-    # 1-D arrays carry XLA layout T(1024): blocks must be 1024-multiples,
-    # hence the tile % 1024 requirement
-    in_specs = [pl.BlockSpec((T,), lambda i, *_: (i,), memory_space=pltpu.VMEM)]
-    inputs = [seg]
+    in_specs = [
+        pl.BlockSpec((T, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    inputs = [seg.reshape(S_pad, 1)]
     out_shapes = []
     scratch = []
     if has_mat:
@@ -142,38 +195,40 @@ def _segment_sum_impl(partials, scalar_partials, seg, num_rows, tile, interpret)
         inputs.append(partials)
         out_shapes.append(jax.ShapeDtypeStruct((R_pad, C), jnp.float32))
         scratch += [
-            pltpu.VMEM((T, C), jnp.float32),
-            pltpu.VMEM((1, C), jnp.float32),
+            pltpu.VMEM((T + 8, C), jnp.float32),  # win (DMA source)
+            pltpu.VMEM((1, C), jnp.float32),  # carry
+            pltpu.VMEM((T + 8, C), jnp.float32),  # prev_win
             pltpu.SemaphoreType.DMA,
         ]
     if has_scalar:
         in_specs.append(
-            pl.BlockSpec((T,), lambda i, *_: (i,), memory_space=pltpu.VMEM)
+            pl.BlockSpec((T, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
         )
-        inputs.append(scalar_partials.astype(jnp.float32))
+        inputs.append(scalar_partials.astype(jnp.float32).reshape(S_pad, 1))
         out_shapes.append(jax.ShapeDtypeStruct((R_pad, 128), jnp.float32))
         scratch += [
-            pltpu.VMEM((T, 128), jnp.float32),
-            pltpu.VMEM((1, 1), jnp.float32),
+            pltpu.VMEM((T + 8, 128), jnp.float32),  # win (lane-0 carrier)
+            pltpu.VMEM((1, 1), jnp.float32),  # carry
+            pltpu.VMEM((T + 8, 1), jnp.float32),  # prev_win
             pltpu.SemaphoreType.DMA,
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # r0s, prev_eq
+        num_scalar_prefetch=2,  # r0as, prev_eq
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in out_shapes],
         scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
-        _make_kernel(has_mat, has_scalar),
+        _make_kernel(has_mat, has_scalar, T),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(r0s, prev_eq, *inputs)
+    )(r0as, prev_eq, *inputs)
     res = []
     i = 0
     if has_mat:

@@ -136,6 +136,21 @@ def pallas_segsum_ok(dense_rows: bool, lanes: int = 128) -> bool:
     )
 
 
+def ell_fused_ok(dense_rows: bool, S: int, lanes: int = 128) -> bool:
+    """True when the fully-fused ELL aggregate kernel applies (gather output
+    consumed in VMEM: weighting + K-reduce + windowed segment-sum in one
+    pass).  Same invariants as the windowed segment-sum plus a slot count
+    divisible by a supported tile."""
+    # read the env per call: tools/benchmarks toggle it between jit traces
+    if os.environ.get("VQ_GNN_ELL_FUSED", "auto") != "auto" or not (
+        pallas_segsum_ok(dense_rows, lanes)
+    ):
+        return False
+    from vq_gnn_tpu.ops.pallas_ell import fused_tile_ok
+
+    return fused_tile_ok(S)
+
+
 def sorted_segment_sum(part, seg, num_rows, dense_rows):
     """Dispatch: windowed Pallas kernel when the ELL guarantees gap-free
     sorted rows and the lane width tiles cleanly; XLA scatter otherwise."""
@@ -150,11 +165,15 @@ def sorted_segment_sum(part, seg, num_rows, dense_rows):
 
 def _ell_matvec(ell_row, ell_col, ell_val, x, num_rows, dense_rows=False):
     """Slot-ELL aggregate: gather K neighbors per slot, dense K-reduce,
-    segment-sum partials over sorted slot rows."""
+    segment-sum partials over sorted slot rows.  When the fused kernel
+    applies, everything downstream of the gather runs in one VMEM pass."""
     S, K = ell_col.shape
-    nbrs = jnp.take(x, ell_col.reshape(-1), axis=0, mode="clip").reshape(
-        S, K, x.shape[1]
-    )
+    nbrs_flat = jnp.take(x, ell_col.reshape(-1), axis=0, mode="clip")
+    if ell_fused_ok(dense_rows, S, x.shape[1]):
+        from vq_gnn_tpu.ops.pallas_ell import ell_aggregate_fused
+
+        return ell_aggregate_fused(nbrs_flat, ell_row, ell_val, num_rows)
+    nbrs = nbrs_flat.reshape(S, K, x.shape[1])
     # f32 accumulation regardless of the (possibly bf16) streaming dtype
     part = jnp.einsum(
         "sk,skd->sd", ell_val, nbrs, preferred_element_type=jnp.float32
