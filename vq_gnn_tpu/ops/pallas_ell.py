@@ -388,6 +388,10 @@ def gat_bwd_fused(
 
 
 def _pick_tile(S: int, tile: Optional[int]) -> Optional[int]:
+    import os
+
+    if tile is None and (env := os.environ.get("VQ_GNN_ELL_TILE")):
+        tile = int(env)
     if tile is not None:
         return tile if S % tile == 0 else None
     for t in (512, 256, 128):
