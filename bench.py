@@ -41,9 +41,27 @@ def main():
     from vq_gnn_tpu.train.step import make_step_fns
 
     formulation = os.environ.get("VQ_GNN_BENCH_FORM", "bbprime")
+    conv = os.environ.get("VQ_GNN_BENCH_CONV", "GCN")
+    # VQ_GNN_BENCH_PROFILE=products: ogbn-products scale (2.45M nodes,
+    # ~61M und. edges, 100 feats, 47 classes — reference misc.py:144-224
+    # supports products through the same branch as arxiv).  Proves the
+    # "scale up" claim past arxiv: host k-hop/ELL pipeline, [N+1, nb] int16
+    # c_indices and HBM residency at 14x the node count.
+    profile = os.environ.get("VQ_GNN_BENCH_PROFILE", "arxiv")
+    if profile == "products":
+        N_syn, deg_syn, feat_syn, cls_syn = 2_449_029, 50.0, 100, 47
+        parts_syn, batch_parts = 200, 8  # B ~ 98k, arxiv-batch-sized
+    else:
+        N_syn, deg_syn, feat_syn, cls_syn = 169_343, 13.7, 128, 40
+        parts_syn, batch_parts = 80, 40
+    # GAT defaults to bf16 streaming: halves the einsum/gather-block HBM
+    # traffic and the merged cotangent gather (tools/gather_bench.py
+    # one_bf16_130 27.3ms vs one_f32_130 29.7ms); accumulation stays f32.
+    # GCN measured SLOWER in bf16 (26.8 vs 29.8M round 1), so it stays f32.
+    default_dtype = "bfloat16" if conv == "GAT" else "float32"
     cfg = Config(
         dataset="arxiv",
-        conv_type=os.environ.get("VQ_GNN_BENCH_CONV", "GCN"),
+        conv_type=conv,
         formulation=formulation,
         num_layers=3,
         hidden_channels=128,
@@ -51,32 +69,32 @@ def main():
         num_M=256 if formulation == "bbprime" else 1024,
         sampler_type="cluster" if formulation == "bbprime" else "cont",
         walk_length=3,
-        num_parts=80,
-        batch_size=40 if formulation == "bbprime" else 10000,
+        num_parts=parts_syn,
+        batch_size=batch_parts if formulation == "bbprime" else 10000,
         vq_update_mode=os.environ.get("VQ_GNN_BENCH_MODE", "live"),
         warm_up_flag=True,
         skip=True,
         matmul_precision="default",  # bench rides the MXU; VQ ops stay exact
         vq_backend=os.environ.get("VQ_GNN_BENCH_VQ_BACKEND", "pallas_fast"),
         spmm_backend=os.environ.get("VQ_GNN_BENCH_SPMM", "ell"),
-        compute_dtype=os.environ.get("VQ_GNN_BENCH_DTYPE", "float32"),
+        compute_dtype=os.environ.get("VQ_GNN_BENCH_DTYPE", default_dtype),
         ell_K=int(os.environ.get("VQ_GNN_BENCH_K", "8")),
         ell_Kt=int(os.environ.get("VQ_GNN_BENCH_KT", "0")),
     )
 
-    path = os.path.join(cfg.data_root, "arxiv.npz")
+    path = os.path.join(cfg.data_root, f"{profile}.npz")
     if os.path.exists(path):
         g, c = load_npz(path)
-        log(f"loaded real arxiv: N={g.num_nodes} E={g.num_edges}")
+        log(f"loaded real {profile}: N={g.num_nodes} E={g.num_edges}")
     else:
         g, c = synthetic_sbm(
-            num_nodes=169_343,
-            num_classes=40,
-            num_features=128,
-            avg_degree=13.7,
+            num_nodes=N_syn,
+            num_classes=cls_syn,
+            num_features=feat_syn,
+            avg_degree=deg_syn,
             seed=0,
         )
-        log(f"synthetic arxiv-scale: N={g.num_nodes} E={g.num_edges}")
+        log(f"synthetic {profile}-scale: N={g.num_nodes} E={g.num_edges}")
     g, c, cluster_indices = prepare(g, cfg, c)
     log(f"prepared: E(normalized)={g.num_edges}")
 

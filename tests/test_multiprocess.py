@@ -100,6 +100,96 @@ print("worker", pid, "ok", flush=True)
 """
 
 
+WORKER_MULTISTEP = r"""
+import hashlib, json, os, sys
+
+sys.path.insert(0, os.environ["VQ_GNN_REPO"])
+import jax  # before torch/sklearn (CLAUDE.md import-order rule)
+
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+coord = sys.argv[3]
+out_path = sys.argv[4]
+
+from vq_gnn_tpu.parallel.multihost import init_distributed
+
+init_distributed(coordinator_address=coord, num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc, jax.process_count()
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from vq_gnn_tpu.config import Config
+from vq_gnn_tpu.graph.datasets import prepare, synthetic_sbm
+from vq_gnn_tpu.nn.model import model_static
+from vq_gnn_tpu.parallel.multihost import global_batch_from_local, make_ddp_step
+from vq_gnn_tpu.sampler.samplers import BatchLoader
+from vq_gnn_tpu.train.loop import device_features
+from vq_gnn_tpu.train.state import init_train_state
+
+sys.path.insert(0, os.path.join(os.environ["VQ_GNN_REPO"], "tests"))
+from _multistep_common import multistep_cfg_graph  # shared with the test
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+cfg, (g, c) = multistep_cfg_graph()
+g, c, _ = prepare(g, cfg, c)
+ms = model_static(cfg, g.num_features, c)
+state = init_train_state(jax.random.PRNGKey(0), ms, g.num_nodes)
+X_dev = device_features(g.x)
+
+# each process iterates a REAL BatchLoader over its own node partition:
+# multi-window cont batches, the production iteration path
+half = g.num_nodes // nproc
+loader = BatchLoader(
+    g, cfg, train_flag=True, shuffle=True, seed=pid,
+    node_range=(pid * half, (pid + 1) * half),
+)
+loader.prefetch = False
+
+NSTEPS = 6
+mesh = Mesh(np.asarray(jax.devices()[:nproc]), axis_names=("data",))
+losses, emb_shas, c_shas = [], [], []
+with mesh:
+    step = make_ddp_step(ms, cfg)
+    n = 0
+    for windows, _ in loader:
+        for wi, w in enumerate(windows):
+            gbatch = global_batch_from_local(mesh, w)
+            # multi-window batches skip the optimizer on window 0
+            # (main_node.py v2:113-116 semantics, as in the trainer)
+            do_opt = 0.0 if (len(windows) > 1 and wi == 0) else 1.0
+            state, metrics = step(
+                state, X_dev, gbatch,
+                jnp.float32(1.0), jnp.float32(0.01), jnp.float32(do_opt),
+                jax.random.fold_in(jax.random.PRNGKey(2), n),
+            )
+            losses.append(float(metrics["loss"]))
+            h_e, h_c = hashlib.sha256(), hashlib.sha256()
+            for s in state.vq_states:
+                h_e.update(np.asarray(jax.device_get(s.embedding)).tobytes())
+                h_c.update(np.asarray(jax.device_get(s.c_indices)).tobytes())
+            emb_shas.append(h_e.hexdigest())
+            c_shas.append(h_c.hexdigest())
+            n += 1
+            if n >= NSTEPS:
+                break
+        if n >= NSTEPS:
+            break
+    emb_sums = [float(np.asarray(jax.device_get(s.embedding)).sum())
+                for s in state.vq_states]
+
+with open(out_path, "w") as f:
+    json.dump({
+        "pid": pid, "losses": losses, "emb_shas": emb_shas,
+        "c_shas": c_shas, "emb_sums": emb_sums, "steps": n,
+    }, f)
+print("worker", pid, "ok", flush=True)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -190,4 +280,108 @@ def test_two_process_ddp_bit_identical(tmp_path):
     for l, s in enumerate(s2.vq_states):
         np.testing.assert_allclose(
             float(jnp.sum(s.embedding)), r0["emb_sum"][l], rtol=1e-6
+        )
+
+
+def test_two_process_multistep_loader(tmp_path):
+    """Six DDP steps through real BatchLoader iteration (multi-window cont
+    batches) on 2 processes: per-step codebook bit-identity across processes
+    plus final-state equality with the single-process stacked replay
+    (round-2 verdict item #5 — the one-step test left loader iteration and
+    multi-step EMA drift uncovered under process_count > 1)."""
+    nproc = 2
+    coord = f"127.0.0.1:{_free_port()}"
+    script = tmp_path / "worker_multistep.py"
+    script.write_text(WORKER_MULTISTEP)
+
+    procs, outs = [], []
+    for pid in range(nproc):
+        out = tmp_path / f"ms_out{pid}.json"
+        outs.append(out)
+        env = dict(os.environ)
+        env["VQ_GNN_REPO"] = REPO
+        env["JAX_NUM_CPU_DEVICES"] = "1"
+        env.pop("XLA_FLAGS", None)  # one device per process
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), str(nproc), coord, str(out)],
+                env=env,
+                cwd=REPO,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    r0, r1 = [json.loads(o.read_text()) for o in outs]
+    assert r0["steps"] == r1["steps"] == 6
+    # per-step bit-identity of the replicated VQ state across processes
+    assert r0["emb_shas"] == r1["emb_shas"]
+    assert r0["c_shas"] == r1["c_shas"]
+    assert r0["losses"] == r1["losses"]
+    assert all(np.isfinite(r0["losses"]))
+
+    # single-process stacked replay of the same loader schedules
+    import jax
+    import jax.numpy as jnp
+
+    from _multistep_common import multistep_cfg_graph
+    from vq_gnn_tpu.graph.datasets import prepare
+    from vq_gnn_tpu.nn.model import model_static
+    from vq_gnn_tpu.parallel.multihost import make_ddp_step, stack_local_batches
+    from vq_gnn_tpu.sampler.samplers import BatchLoader
+    from vq_gnn_tpu.train.loop import device_features
+    from vq_gnn_tpu.train.state import init_train_state
+
+    cfg, (g, c) = multistep_cfg_graph()
+    g, c, _ = prepare(g, cfg, c)
+    ms = model_static(cfg, g.num_features, c)
+    state = init_train_state(jax.random.PRNGKey(0), ms, g.num_nodes)
+    X_dev = device_features(g.x)
+    half = g.num_nodes // nproc
+    loaders = []
+    for pid in range(nproc):
+        ld = BatchLoader(
+            g, cfg, train_flag=True, shuffle=True, seed=pid,
+            node_range=(pid * half, (pid + 1) * half),
+        )
+        ld.prefetch = False
+        loaders.append(ld)
+    step = make_ddp_step(ms, cfg)
+    losses = []
+    n = 0
+    for items in zip(*[iter(ld) for ld in loaders]):
+        window_lists = [w for w, _ in items]
+        assert len({len(ws) for ws in window_lists}) == 1
+        for wi in range(len(window_lists[0])):
+            stacked = stack_local_batches([ws[wi] for ws in window_lists])
+            do_opt = 0.0 if (len(window_lists[0]) > 1 and wi == 0) else 1.0
+            state, m = step(
+                state, X_dev, jax.tree.map(jnp.asarray, stacked),
+                jnp.float32(1.0), jnp.float32(0.01), jnp.float32(do_opt),
+                jax.random.fold_in(jax.random.PRNGKey(2), n),
+            )
+            losses.append(float(m["loss"]))
+            n += 1
+            if n >= 6:
+                break
+        if n >= 6:
+            break
+    # cross-process runs are bit-identical (asserted above); the stacked
+    # single-process replay differs by reduction order (psum vs stacked sum),
+    # compounding to ~3e-6 relative over 6 steps
+    np.testing.assert_allclose(losses, r0["losses"], rtol=1e-5)
+    for l, s in enumerate(state.vq_states):
+        np.testing.assert_allclose(
+            float(jnp.sum(s.embedding)), r0["emb_sums"][l], rtol=1e-5
         )

@@ -123,6 +123,58 @@ def test_bf16_neighbor_block():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=1e-2)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("C", [128, 256])
+def test_gat_bwd_merged_matches_split(C, dtype):
+    """The merged-gather backward kernel (one [St*K, C+2] block carrying
+    cotangent + rowsum-cotangent + ar) computes the same dx/d_al as the
+    round-2 split-gather kernel, in f32 and at the bf16 streaming dtype
+    (round-3: merged is the C=128 default after tools/gather_bench.py)."""
+    num_rows, E, K = 260, 2000, 8
+    C1 = 128
+    ell_row, ell_col, ell_val, x = _ell_case(num_rows, E, K, C, 13)
+    t_row, t_col, t_val = ell_row, ell_col, ell_val
+    rng = np.random.default_rng(17)
+    att_l = jnp.asarray(rng.standard_normal(C + 1).astype(np.float32) * 0.1)
+    scale = jnp.float32(1.9)
+    R = num_rows
+    dt = jnp.dtype(dtype)
+    g_agg = jnp.asarray(rng.standard_normal((R, C)).astype(np.float32)).astype(dt)
+    g_rs = jnp.asarray(rng.standard_normal((R, 1)).astype(np.float32)).astype(dt)
+    ar_node = jnp.asarray(
+        rng.standard_normal(R).astype(np.float32) * 0.2
+    ).astype(dt)
+    xs = x[:R].astype(dt)
+
+    from vq_gnn_tpu.ops.pallas_ell import gat_bwd_fused, gat_bwd_fused_merged
+
+    idx = t_col.reshape(-1)
+    x_rows = jnp.take(xs, t_row, axis=0, mode="clip")
+
+    g_cat = jnp.concatenate([g_agg, g_rs, ar_node[:, None]], axis=1)
+    gf = jnp.take(g_cat, idx, axis=0, mode="clip")
+    dx_m, dal_m = gat_bwd_fused_merged(
+        gf, x_rows, t_row, t_val, att_l[:C], att_l[C], scale, R,
+        interpret=True,
+    )
+
+    g_hi_src = jnp.concatenate([g_agg[:, C1:], g_rs, ar_node[:, None]], axis=1)
+    gl = jnp.take(g_agg[:, :C1], idx, axis=0, mode="clip")
+    gh = jnp.take(g_hi_src, idx, axis=0, mode="clip")
+    dx_s, dal_s = gat_bwd_fused(
+        gl, gh, x_rows, t_row, t_val, att_l[:C], att_l[C], scale, R,
+        interpret=True,
+    )
+    # both kernels accumulate f32 from identically-quantized inputs; the only
+    # difference is contraction order inside the tile
+    np.testing.assert_allclose(
+        np.asarray(dx_m), np.asarray(dx_s), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(dal_m), np.asarray(dal_s), rtol=2e-3, atol=2e-3
+    )
+
+
 def test_gat_bwd_fused_matches_unfused():
     """dx_agg / d_al_node from the fused backward tile == the unfused
     transposed-layout recompute (ops/gat.py:_gat_conv_vjp_bwd)."""

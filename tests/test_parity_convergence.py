@@ -69,6 +69,13 @@ CONFIGS = {
 }
 
 
+# per-config regression bound (round-3 verdict "weak #5": the old global
+# 0.04 would admit a 3-point VQ regression).  Measured gaps at these seeds:
+# GCN -1.2%, GAT -1.5% (VQ *beats* exact), SAGE-cont +2.67%; each bound is
+# the measured gap plus a noise margin well under the old 4 points.
+EPSILON = {"GCN-cluster": 0.025, "GAT-cluster": 0.025, "SAGE-cont": 0.035}
+
+
 @pytest.mark.parametrize("name", list(CONFIGS))
 def test_vq_matches_exact_full_graph(name):
     res = parity_gap(graph_fn, CONFIGS[name], epochs=25, eval_every=3)
@@ -76,9 +83,8 @@ def test_vq_matches_exact_full_graph(name):
     vq_acc = res["vq"]["test_at_best_valid"]
     # the exact control must itself train (guards the baseline)
     assert exact_acc > 0.78, (name, exact_acc)
-    # the paper claim: VQ within a small epsilon of exact (measured gaps:
-    # GCN -1.2%, GAT -1.5%, SAGE +2.0% — VQ sometimes *beats* exact)
-    assert vq_acc >= exact_acc - 0.04, (name, exact_acc, vq_acc)
+    # the paper claim: VQ within a small epsilon of exact
+    assert vq_acc >= exact_acc - EPSILON[name], (name, exact_acc, vq_acc)
 
 
 def test_exact_config_derivation():

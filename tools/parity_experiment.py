@@ -34,6 +34,16 @@ def main():
     ap.add_argument("--nodes", type=int, default=169_343)
     ap.add_argument("--eval-every", type=int, default=5)
     ap.add_argument("--noise", type=float, default=4.0)
+    # difficulty calibration (tools/calibrate_sbm.py, round-3): with all 128
+    # dims informative the exact control saturates at 99.6% and ceiling
+    # effects can hide a broken VQ path; 48 informative dims at noise 4.0
+    # lands the exact control at ~73-80% — measured gap below the ceiling.
+    ap.add_argument("--informative-dims", type=int, default=48)
+    # 'bm' runs the v1 B+M formulation in the reference reddit shape
+    # (/root/reference/README.md:72-88: cont sampler, walk 3, num-M 1024,
+    # batch 10000, lr 1e-3, recovery, bn, no skip)
+    ap.add_argument("--formulation", default="bbprime",
+                    choices=["bbprime", "bm"])
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = ap.parse_args()
 
@@ -58,30 +68,56 @@ def main():
             avg_degree=13.7,
             homophily=0.7,
             feature_noise=args.noise,
+            informative_dims=args.informative_dims,
             seed=7,
         )
 
     n = graph_fn()[0].num_nodes
-    # the reference arxiv flagship config (README.md:19-22), live VQ
-    cfg = Config(
-        dataset="arxiv",
-        conv_type=args.conv,
-        num_layers=3,
-        hidden_channels=128,
-        num_D=4,
-        num_M=256,
-        sampler_type="cluster",
-        num_parts=80,
-        batch_size=40,
-        test_batch_size=n,
-        vq_update_mode="live",
-        lr=0.01,
-        warm_up=True,
-        warm_up_epochs=5,
-        skip=True,
-        matmul_precision="default",
-        vq_backend="auto",
-    )
+    if args.formulation == "bm":
+        # the reference reddit shape on the v1 mapper formulation
+        cfg = Config(
+            dataset="arxiv",
+            conv_type=args.conv,
+            formulation="bm",
+            num_layers=3,
+            hidden_channels=128,
+            num_D=4,
+            num_M=1024,
+            sampler_type="cont",
+            walk_length=3,
+            cont_sliding_window=1,
+            batch_size=10000,
+            test_batch_size=n,
+            recovery_flag=True,
+            vq_update_mode="live",
+            lr=1e-3,
+            warm_up=True,
+            warm_up_epochs=5,
+            skip=False,
+            matmul_precision="default",
+            vq_backend="auto",
+        )
+    else:
+        # the reference arxiv flagship config (README.md:19-22), live VQ
+        cfg = Config(
+            dataset="arxiv",
+            conv_type=args.conv,
+            num_layers=3,
+            hidden_channels=128,
+            num_D=4,
+            num_M=256,
+            sampler_type="cluster",
+            num_parts=80,
+            batch_size=40,
+            test_batch_size=n,
+            vq_update_mode="live",
+            lr=0.01,
+            warm_up=True,
+            warm_up_epochs=5,
+            skip=True,
+            matmul_precision="default",
+            vq_backend="auto",
+        )
 
     t0 = time.time()
     res = parity_gap(
@@ -104,12 +140,22 @@ def main():
             f"{r['final_test']:>12.4f}"
         )
     print(f"gap (exact - vq): {res['gap']:+.4f}")
+    if os.path.exists(real):
+        # real-data golden gate (REAL_DATA.md step 3): OGB full-graph GCN on
+        # ogbn-arxiv ~71.7%, VQ-GNN parity claim ~1% -> floor 0.70
+        floor = float(os.environ.get("VQ_GNN_REAL_MIN_ACC", "0.70"))
+        ok = res["vq"]["test_at_best_valid"] >= floor
+        print(
+            f"real-data gate (vq test >= {floor:.2f}): "
+            f"{'PASS' if ok else 'FAIL'}"
+        )
     print(
         json.dumps(
             {
                 "experiment": "vq_vs_exact_parity",
                 "source": src,
                 "conv": args.conv,
+                "formulation": args.formulation,
                 "epochs": args.epochs,
                 "exact_test": res["exact"]["test_at_best_valid"],
                 "vq_test": res["vq"]["test_at_best_valid"],

@@ -115,16 +115,27 @@ def synthetic_sbm(
     feature_noise: float = 1.0,
     multilabel: bool = False,
     seed: int = 0,
+    informative_dims: Optional[int] = None,
 ) -> Tuple[HostGraph, int]:
     """Degree-skewed stochastic block model with class-informative features.
 
     Edges are homophilous so a GNN genuinely beats an MLP; degrees follow a
     lognormal (power-law-ish tail) like real citation graphs.
+
+    ``informative_dims`` restricts the class signal to the first d feature
+    dimensions (centroids are zero elsewhere, noise everywhere).  At high
+    feature counts the all-dims-informative default makes the task nearly
+    linearly separable (per-dim SNR adds up across 128 dims), so accuracy
+    saturates near 100% and ceiling effects can hide a broken training path
+    (round-2 verdict "weak #1"); capping the informative dims keeps the task
+    hard at any width.
     """
     rng = np.random.RandomState(seed)
     labels = rng.randint(0, num_classes, num_nodes)
     # class centroids + noise
     centroids = rng.randn(num_classes, num_features).astype(np.float32) * 2.0
+    if informative_dims is not None and informative_dims < num_features:
+        centroids[:, informative_dims:] = 0.0
     x = centroids[labels] + feature_noise * rng.randn(num_nodes, num_features).astype(
         np.float32
     )

@@ -502,19 +502,40 @@ def _gat_conv_vjp_bwd(res, g):
     from vq_gnn_tpu.ops.spmm import ell_fused_ok
 
     if C % 128 == 0 and ell_fused_ok(edges.dense_rows, St, C):
-        # fused tile: everything between the cotangent gathers and the
+        # fused tile: everything between the cotangent gather(s) and the
         # segment-sums runs in one VMEM pass (ops/pallas_ell.py).  d_scale
         # gets an exact closed form below (a is row/col-separable), so no
         # per-cell d_scale channel is needed.
-        from vq_gnn_tpu.ops.pallas_ell import gat_bwd_fused
+        import os
 
-        gl = jnp.take(g_lo, idx_t, axis=0, mode="clip")
-        gh = jnp.take(g_hi, idx_t, axis=0, mode="clip")
         x_rows_t = jnp.take(x, edges.t_ell_row, axis=0, mode="clip")
-        dx_agg, d_al_node = gat_bwd_fused(
-            gl, gh, x_rows_t, edges.t_ell_row, edges.t_ell_val,
-            att_l[:C], att_l[C], scale, R,
-        )
+        if C == 128 and os.environ.get("VQ_GNN_GAT_MERGED", "auto") != "off":
+            # ONE merged [R, C+2] gather: the narrow [R, 2] ride-along
+            # gather costs a full row-gather pass (row-count bound,
+            # tools/gather_bench.py: two_f32 45.6ms vs one_f32_130 29.7ms
+            # at 2.1M rows) — fold rs/ar into the cotangent source instead.
+            # At C>=256 the split measured faster (round-2: 23 vs 29 ms),
+            # so the two-gather path below stays for wider channels.
+            from vq_gnn_tpu.ops.pallas_ell import gat_bwd_fused_merged
+
+            g_cat = jnp.concatenate(
+                [g_agg_s, g_rowsum.astype(gs), ar_node[:, None].astype(gs)],
+                axis=1,
+            )
+            gf = jnp.take(g_cat, idx_t, axis=0, mode="clip")
+            dx_agg, d_al_node = gat_bwd_fused_merged(
+                gf, x_rows_t, edges.t_ell_row, edges.t_ell_val,
+                att_l[:C], att_l[C], scale, R,
+            )
+        else:
+            from vq_gnn_tpu.ops.pallas_ell import gat_bwd_fused
+
+            gl = jnp.take(g_lo, idx_t, axis=0, mode="clip")
+            gh = jnp.take(g_hi, idx_t, axis=0, mode="clip")
+            dx_agg, d_al_node = gat_bwd_fused(
+                gl, gh, x_rows_t, edges.t_ell_row, edges.t_ell_val,
+                att_l[:C], att_l[C], scale, R,
+            )
         xf = x.astype(jnp.float32)
         d_ar_node = _gat_d_ar_closed_form(g_agg, g_rowsum, agg, rowsum, aggn, rsn)
         al_node = (xf @ att_l[:C] + att_l[C]) / scale

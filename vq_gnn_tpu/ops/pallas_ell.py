@@ -305,6 +305,147 @@ def _make_bwd_kernel(K: int, C: int, C1: int, W: int):
     return kernel
 
 
+def _make_bwd_kernel_merged(K: int, C: int):
+    """Merged-gather GAT backward tile: ONE gathered block [T*K, C+2] carries
+    the cotangent lanes plus the rowsum-cotangent (lane C) and ar (lane C+1)
+    ride-alongs.  Measured motivation (tools/gather_bench.py, 2.1M rows):
+    the round-2 two-gather scheme pays full row cost for the narrow [R, 2]
+    ride-along source (45.6 ms vs 23.5 for one 128-wide gather — gathers are
+    row-count bound); a single [R, C+2] gather is 29.7 ms f32 / 27.3 bf16,
+    i.e. ~35-40% less cotangent-gather time.  Same math as _make_bwd_kernel.
+    """
+    n_chunks = C // 128
+
+    def kernel(r0as_ref, prev_eq_ref, seg_ref, gf_ref, x_ref, val_ref,
+               alv_ref, alb_ref, *rest):
+        outs = list(rest[0:2])
+        scratch = list(rest[2:])
+        i = pl.program_id(0)
+        T = seg_ref.shape[0]
+        r0a = r0as_ref[i]
+        r0a_prev = r0as_ref[jnp.maximum(i - 1, 0)]
+        reduce = make_window_reducer(
+            T, seg_ref[:], r0a, r0a_prev, prev_eq_ref[i]
+        )
+
+        g3 = gf_ref[:].reshape(T, K, C + 2)  # leading-dim reshape only
+        x_l = x_ref[:]  # [T, C]
+        val = val_ref[:]  # [T, K]
+        g3f = g3.astype(jnp.float32)
+        # ride-along lane extraction via basis masks (single-lane slices of a
+        # lane-tiled block re-read the whole tile row — see module notes)
+        wi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C + 2), 2)
+        ar = jnp.sum(g3f * (wi == C + 1), axis=2)  # [T, K]
+        rs = jnp.sum(g3f * (wi == C), axis=2)  # [T, K] rowsum cotangent
+        al = (
+            jnp.sum(x_l.astype(jnp.float32) * alv_ref[:], axis=1,
+                    keepdims=True)
+            + alb_ref[0, 0]
+        ) / alb_ref[0, 1]  # [T, 1]
+        a = al + ar
+        ev = jnp.exp(jax.nn.leaky_relu(a, NEGATIVE_SLOPE)) * val
+
+        x_f = x_l.astype(jnp.float32)
+        g_ev = rs
+        dx_chunks = []
+        for j in range(n_chunks):
+            gj = g3f[:, :, j * 128 : (j + 1) * 128]
+            g_ev = g_ev + jnp.sum(
+                gj * x_f[:, j * 128 : (j + 1) * 128][:, None, :], axis=2
+            )
+            dx_chunks.append(jnp.sum(ev[:, :, None] * gj, axis=1))
+        d_a = g_ev * ev * jnp.where(a > 0, 1.0, NEGATIVE_SLOPE)
+        dx_part = (
+            jnp.concatenate(dx_chunks, axis=1) if n_chunks > 1 else dx_chunks[0]
+        )
+        _emit_channels(
+            reduce, r0a, T, [dx_part, jnp.sum(d_a, axis=1)[:, None]],
+            outs, scratch, i,
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_rows", "tile", "interpret")
+)
+def _gat_bwd_impl_merged(gf, x_rows, seg, val, alv, alb, scale, num_rows,
+                         tile, interpret):
+    St, K = val.shape
+    C = x_rows.shape[1]
+    assert gf.shape[1] == C + 2, (gf.shape, C)
+    T = tile
+    assert St % T == 0
+    n_tiles = St // T
+    seg = seg.astype(jnp.int32)
+    r0as, prev_eq = aligned_window_meta(seg, T)
+    R_pad = ((num_rows + T + 16) // 8) * 8
+
+    in_specs = [
+        pl.BlockSpec((T, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T * K, C + 2), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, C), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, K), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # alv [1, C]
+        pl.BlockSpec((1, 2), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    inputs = [
+        seg.reshape(St, 1), gf, x_rows, val.astype(jnp.float32),
+        alv.astype(jnp.float32).reshape(1, C),
+        jnp.stack(
+            [jnp.asarray(alb, jnp.float32), jnp.asarray(scale, jnp.float32)]
+        ).reshape(1, 2),
+    ]
+    ch_meta, scratch = _channel_outputs(T, C, [C, 1])
+    out_shapes = [
+        jax.ShapeDtypeStruct((R_pad, wl), jnp.float32) for _, wl in ch_meta
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in out_shapes],
+        scratch_shapes=scratch,
+    )
+    dx_w, dal_w = pl.pallas_call(
+        _make_bwd_kernel_merged(K, C),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(r0as, prev_eq, *inputs)
+    return dx_w[:num_rows], dal_w[:num_rows, 0]
+
+
+def gat_bwd_fused_merged(
+    gf: jnp.ndarray,  # [St*K, C+2] gathered [cotangent | g_rowsum | ar]
+    x_rows: jnp.ndarray,  # [St, C] x gathered by t_ell_row
+    seg: jnp.ndarray,  # [St] t_ell_row (ascending gap-free)
+    val: jnp.ndarray,  # [St, K] t_ell_val
+    alv: jnp.ndarray,  # [C] att_l[:C] (unscaled)
+    alb,  # scalar att_l[C]
+    scale,  # scalar explosion scale
+    num_rows: int,
+    tile: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Fused transposed GAT backward over ONE merged cotangent gather ->
+    (dx_agg [R, C], d_al_node [R]), f32.  See _make_bwd_kernel_merged."""
+    from vq_gnn_tpu.ops.spmm import pallas_interpret_mode
+
+    interpret = interpret or pallas_interpret_mode()
+    T = _pick_tile(val.shape[0], tile)
+    if T is None:
+        raise ValueError(f"St={val.shape[0]} has no 128/256/512 tile divisor")
+    return _gat_bwd_impl_merged(
+        gf, x_rows, seg, val, alv, alb, scale, num_rows, T, interpret
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_rows", "tile", "interpret")
 )
@@ -379,6 +520,9 @@ def gat_bwd_fused(
     Everything the unfused path did between the cotangent gathers and the
     segment-sums (ar/rs lane extraction, a/ev recompute, g_ev SDDMM, d_a,
     dx partials) happens in one VMEM pass per slot tile."""
+    from vq_gnn_tpu.ops.spmm import pallas_interpret_mode
+
+    interpret = interpret or pallas_interpret_mode()
     T = _pick_tile(val.shape[0], tile)
     if T is None:
         raise ValueError(f"St={val.shape[0]} has no 128/256/512 tile divisor")
@@ -414,6 +558,9 @@ def ell_aggregate_fused(
 ) -> jnp.ndarray:
     """Plain (GCN/SAGE) fused aggregate: out[r] = sum val[s,k]*nbrs[s,k] over
     slots of row r.  Returns f32 [num_rows, C]."""
+    from vq_gnn_tpu.ops.spmm import pallas_interpret_mode
+
+    interpret = interpret or pallas_interpret_mode()
     T = _pick_tile(val.shape[0], tile)
     if T is None:
         raise ValueError(f"S={val.shape[0]} has no 128/256/512 tile divisor")
@@ -443,6 +590,9 @@ def gat_aggregate_fused(
     from the row window; returns
     (agg [R, C], rowsum [R], aggn [R, C] | None, rsn [R] | None), all f32.
     """
+    from vq_gnn_tpu.ops.spmm import pallas_interpret_mode
+
+    interpret = interpret or pallas_interpret_mode()
     T = _pick_tile(val.shape[0], tile)
     if T is None:
         raise ValueError(f"S={val.shape[0]} has no 128/256/512 tile divisor")

@@ -227,6 +227,10 @@ def _segment_sum_impl(partials, scalar_partials, seg, num_rows, tile, interpret)
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # the T=1024 one-hot reducers keep ~20MB live on the kernel
+            # stack (ohT [T, T+8] + window copies); the default 16MB scoped
+            # limit rejects fresh compiles on current Mosaic
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(r0as, prev_eq, *inputs)
     res = []
@@ -253,6 +257,9 @@ def segment_sum_sorted(
     Returns f32 ``out [num_rows, C]`` for the matrix channel, ``out_s
     [num_rows]`` for the scalar channel, or ``(out, out_s)`` when both are
     given (sharing one kernel pass over the segment ids)."""
+    from vq_gnn_tpu.ops.spmm import pallas_interpret_mode
+
+    interpret = interpret or pallas_interpret_mode()
     res = _segment_sum_impl(
         partials, scalar_partials, seg, num_rows, tile, interpret
     )

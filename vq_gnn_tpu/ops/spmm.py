@@ -125,9 +125,18 @@ def _segment_matvec(row, col, val, x, num_rows, sorted_rows):
 _SEGSUM_MODE = os.environ.get("VQ_GNN_SEGSUM", "auto")  # auto | xla
 
 
+def pallas_interpret_mode() -> bool:
+    """VQ_GNN_ELL_FUSED=interpret forces the fused/windowed Pallas paths in
+    interpreter mode — lets CI exercise the exact fused dispatch (incl. the
+    bf16 seam) on CPU, where the kernels otherwise never engage."""
+    return os.environ.get("VQ_GNN_ELL_FUSED") == "interpret"
+
+
 def pallas_segsum_ok(dense_rows: bool, lanes: int = 128) -> bool:
     """True when the windowed Pallas segment-sum applies: gap-free sorted
     ELL rows, lane-tileable width, real TPU lowering, not disabled by env."""
+    if pallas_interpret_mode():
+        return dense_rows and lanes % 128 == 0
     return (
         _SEGSUM_MODE == "auto"
         and dense_rows
@@ -142,9 +151,9 @@ def ell_fused_ok(dense_rows: bool, S: int, lanes: int = 128) -> bool:
     pass).  Same invariants as the windowed segment-sum plus a slot count
     divisible by a supported tile."""
     # read the env per call: tools/benchmarks toggle it between jit traces
-    if os.environ.get("VQ_GNN_ELL_FUSED", "auto") != "auto" or not (
-        pallas_segsum_ok(dense_rows, lanes)
-    ):
+    if os.environ.get("VQ_GNN_ELL_FUSED", "auto") not in (
+        "auto", "interpret"
+    ) or not pallas_segsum_ok(dense_rows, lanes):
         return False
     from vq_gnn_tpu.ops.pallas_ell import fused_tile_ok
 

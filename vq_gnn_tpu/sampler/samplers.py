@@ -243,8 +243,15 @@ class BatchLoader:
         shuffle: Optional[bool] = None,
         seed: int = 0,
         with_link_edges: bool = False,
+        node_range: Optional[tuple] = None,
     ):
         self.with_link_edges = with_link_edges
+        # multi-host data parallelism: each process samples batch SEEDS from
+        # its own node partition [lo, hi) (parallel/multihost.py contract);
+        # walks/neighbor expansion may still leave the partition — those
+        # nodes enter as B' codebook lookups, which is exactly the design
+        # (the codebook replaces cross-host feature traffic).
+        self.node_range = node_range
         self._L_bucket = 0
         self.graph = graph
         self.cfg = cfg
@@ -280,6 +287,11 @@ class BatchLoader:
 
         if st == "cluster" and cluster_indices is None:
             raise ValueError("cluster sampler needs cluster_indices")
+        if st == "cluster" and node_range is not None:
+            raise ValueError(
+                "node_range with the cluster sampler: partition hosts by "
+                "clusters instead (give each process its own cluster_indices)"
+            )
         if st == "cluster" and train_flag:
             # the reference's partition-quality print (dataloader.py v2:29-35)
             # plus the edge-cut fraction, on stderr
@@ -322,9 +334,15 @@ class BatchLoader:
                 [np.concatenate([self.cluster_indices[c] for c in g])] for g in groups
             ]
 
-        ids = rng.permutation(self.N) if self.shuffle else np.arange(self.N)
+        if self.node_range is not None:
+            lo, hi = self.node_range
+            pool = np.arange(lo, hi)
+        else:
+            pool = np.arange(self.N)
+        ids = rng.permutation(pool) if self.shuffle else pool
         chunks = [
-            ids[i : i + self.batch_size] for i in range(0, self.N, self.batch_size)
+            ids[i : i + self.batch_size]
+            for i in range(0, len(pool), self.batch_size)
         ]
         out = []
         for idx in chunks:
