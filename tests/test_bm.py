@@ -299,3 +299,72 @@ def test_bm_transformer_branch_e2e():
     assert changed
     res = tr.evaluate()
     assert all(0.0 <= r <= 1.0 for r in res)
+
+
+@pytest.mark.parametrize("recovery", [True, False])
+def test_bm_gat_ell_grads_match_coo(recovery):
+    """The branch-folded ELL GAT layer (gat_conv_ell_mh) must match the COO
+    per-branch vmap path in VALUE and GRADIENTS (params, x, probe, codebook)
+    — both recovery modes, so the bm_rev and fo info_backward paths are hit."""
+    D, nb, M = 2, 3, 4
+    outs = {}
+    for backend in ("ell", "coo"):
+        cfg = Config(
+            dataset="synthetic",
+            formulation="bm",
+            conv_type="GAT",
+            recovery_flag=recovery,
+            num_layers=2,
+            hidden_channels=D * nb,
+            num_D=D,
+            num_M=M,
+            batch_size=16,
+            test_batch_size=40,
+            pad_multiple_nodes=8,
+            pad_multiple_edges=64,
+            warm_up_flag=True,
+            skip=True,
+            spmm_backend=backend,
+        )
+        g, c_ = synthetic_sbm(num_nodes=40, num_features=D * nb, num_classes=3, seed=9)
+        g, c_, _ = prepare(g, cfg, c_)
+        ms = model_static(cfg, g.num_features, 3)
+        params = init_params(jax.random.PRNGKey(0), ms)
+        vq = init_vq_state(jax.random.PRNGKey(1), nb, g.num_nodes, ms.vq)
+        vq = vq.replace(
+            embedding_output=jax.random.normal(
+                jax.random.PRNGKey(2), vq.embedding_output.shape
+            )
+        )
+        loader = BatchLoader(g, cfg, train_flag=True, shuffle=False, seed=0)
+        windows, raw = next(iter(loader))
+        batch, node_idx = windows[0], raw[0]
+        B = len(node_idx)
+        x_pad = (
+            jnp.zeros((batch.B_pad, g.num_features))
+            .at[:B]
+            .set(jnp.asarray(g.x[node_idx]))
+        )
+        probe0 = jnp.zeros((nb, batch.B_pad, D + 1))
+
+        def loss_fn(lp, xp, emb, pr):
+            out, info = layer_forward_bm(
+                lp, vq.replace(embedding_output=emb), ms, xp, batch, pr,
+                jnp.float32(0.7), True,
+            )
+            return jnp.sum(out**2) + info
+
+        val, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3))(
+            params[0], x_pad, vq.embedding_output, probe0
+        )
+        outs[backend] = (val, grads)
+
+    va, ga = outs["ell"]
+    vb, gb = outs["coo"]
+    np.testing.assert_allclose(float(va), float(vb), rtol=2e-4)
+    fa, fb = jax.tree.leaves(ga), jax.tree.leaves(gb)
+    assert len(fa) == len(fb)
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )

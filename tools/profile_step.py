@@ -30,9 +30,16 @@ def main():
     from vq_gnn_tpu.train.step import make_step_fns
 
     import os
+    form = os.environ.get("VQ_GNN_PROF_FORM", "bbprime")
     cfg = Config(
-        dataset="arxiv", conv_type=os.environ.get("VQ_GNN_PROF_CONV", "GCN"), num_layers=3, hidden_channels=128,
-        num_D=4, num_M=256, sampler_type="cluster", num_parts=80, batch_size=40,
+        dataset="arxiv", conv_type=os.environ.get("VQ_GNN_PROF_CONV", "GCN"),
+        formulation=form, num_layers=3, hidden_channels=128,
+        num_D=4,
+        num_M=256 if form == "bbprime" else 1024,
+        sampler_type="cluster" if form == "bbprime" else "cont",
+        walk_length=3,
+        num_parts=80,
+        batch_size=40 if form == "bbprime" else 10000,
         skip=True, matmul_precision="default",
         vq_backend=os.environ.get("VQ_GNN_PROF_VQ_BACKEND", "xla_fast"),
         compute_dtype=os.environ.get("VQ_GNN_PROF_DTYPE", "float32"),

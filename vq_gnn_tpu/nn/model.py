@@ -27,7 +27,12 @@ from flax import struct
 
 from vq_gnn_tpu.config import Config
 from vq_gnn_tpu.nn.vq import VQParams, VQState, lookup
-from vq_gnn_tpu.ops.gat import attention_logits, explosion_scale, gat_edge_values
+from vq_gnn_tpu.ops.gat import (
+    attention_logits,
+    explosion_scale,
+    gat_conv_ell_mh,
+    gat_edge_values,
+)
 from vq_gnn_tpu.ops.spmm import spmm
 from vq_gnn_tpu.ops.vq_ops import masked_mean_var
 from vq_gnn_tpu.sampler.batch import PaddedBatch
@@ -591,51 +596,81 @@ def layer_forward_bm(
 
         e = batch.edges
         if e.ell_row is not None:
-            ev = jax.vmap(
-                lambda a_l, a_r: gat_edge_values(
-                    e.ell_row[:, None], e.ell_col, e.ell_val, a_l, a_r
+            # branch-folded lane layout: ONE 128-lane gather/segment-sum pass
+            # per direction instead of nb vmapped 5-lane passes (ops/gat.py
+            # gat_conv_ell_mh); the ones-normalizer comes back as its own
+            # [dim, nb] channel instead of an aggregated ones column
+            x_input = jnp.concatenate([x, x_fo], axis=0)  # [dim, nb*D]
+            cd = jnp.dtype(ms.compute_dtype)
+            if x_input.dtype != cd:  # bf16 streaming halves the gather bytes
+                x_input = x_input.astype(cd)
+            agg, rs = gat_conv_ell_mh(e, x_input, al.T, ar.T)
+            if probe is not None:  # [nb, B_pad, D+1]
+                p_agg = jnp.transpose(probe[:, :, :D], (1, 0, 2)).reshape(
+                    B_pad, nb * D
                 )
-            )(al, ar)
-            ev_t = jax.vmap(
-                lambda a_l, a_r: gat_edge_values(
-                    e.t_ell_col, e.t_ell_row[:, None], e.t_ell_val, a_l, a_r
+                agg = jnp.concatenate([agg[:B_pad] + p_agg, agg[B_pad:]], axis=0)
+                rs = jnp.concatenate(
+                    [rs[:B_pad] + probe[:, :, D].T, rs[B_pad:]], axis=0
                 )
-            )(al, ar)
-            x_out = jax.vmap(
-                lambda v, vt, xi: spmm(e.replace(ell_val=v, t_ell_val=vt), xi)
-            )(ev, ev_t, x_br)
+            if batch.bm_rev_row is not None:  # exact non-GCN recovery reverse
+                info_backward = _bm_exact_reverse_info(
+                    vq_state,
+                    ms,
+                    batch,
+                    x_br[:, :B_pad],
+                    warm_up_rate,
+                    al=al[:, :B_pad],
+                    ar_cb=ar_cb / scale,
+                    branch_keep=branch_keep,
+                )
+            else:
+                gfo_r = grad_fo.reshape(batch.Bp_pad, nb, D + 1)
+                info_backward = (
+                    jnp.sum(
+                        agg[B_pad:].reshape(batch.Bp_pad, nb, D)
+                        * gfo_r[:, :, :D]
+                    )
+                    + jnp.sum(rs[B_pad:] * gfo_r[:, :, D])
+                ) * warm_up_rate
+            # ones-column normalization of batch rows (v1/models.py:209-210)
+            out_B = agg[:B_pad] / (jnp.repeat(rs[:B_pad], D, axis=1) + 1e-16)
+            if branch_keep is not None:
+                out_B = out_B * jnp.repeat(
+                    branch_keep.astype(out_B.dtype), D
+                )[None, :]
         else:
             ev = jax.vmap(lambda a_l, a_r: gat_edge_values(e.row, e.col, e.val, a_l, a_r))(
                 al, ar
             )
             x_out = jax.vmap(lambda v, xi: spmm(e.replace(val=v), xi))(ev, x_br)
 
-        if probe is not None:  # [nb, B_pad, D+1]
-            x_out = x_out.at[:, :B_pad].add(probe)
+            if probe is not None:  # [nb, B_pad, D+1]
+                x_out = x_out.at[:, :B_pad].add(probe)
 
-        if batch.bm_rev_row is not None:  # exact non-GCN recovery reverse
-            info_backward = _bm_exact_reverse_info(
-                vq_state,
-                ms,
-                batch,
-                x_br[:, :B_pad],
-                warm_up_rate,
-                al=al[:, :B_pad],
-                ar_cb=ar_cb / scale,
-                branch_keep=branch_keep,
-            )
-        else:
-            out_fo = x_out[:, B_pad:]  # [nb, fo, D+1]
-            gfo = jnp.transpose(
-                grad_fo.reshape(batch.Bp_pad, nb, D + 1), (1, 0, 2)
-            )
-            info_backward = jnp.sum(out_fo * gfo * warm_up_rate)
-        # ones-column normalization of batch rows (v1/models.py:209-210)
-        outb = x_out[:, :B_pad]
-        outb = outb[:, :, :D] / (outb[:, :, D:] + 1e-16)
-        if branch_keep is not None:
-            outb = outb * branch_keep.astype(outb.dtype)[:, None, None]
-        out_B = jnp.transpose(outb, (1, 0, 2)).reshape(B_pad, nb * D)
+            if batch.bm_rev_row is not None:  # exact non-GCN recovery reverse
+                info_backward = _bm_exact_reverse_info(
+                    vq_state,
+                    ms,
+                    batch,
+                    x_br[:, :B_pad],
+                    warm_up_rate,
+                    al=al[:, :B_pad],
+                    ar_cb=ar_cb / scale,
+                    branch_keep=branch_keep,
+                )
+            else:
+                out_fo = x_out[:, B_pad:]  # [nb, fo, D+1]
+                gfo = jnp.transpose(
+                    grad_fo.reshape(batch.Bp_pad, nb, D + 1), (1, 0, 2)
+                )
+                info_backward = jnp.sum(out_fo * gfo * warm_up_rate)
+            # ones-column normalization of batch rows (v1/models.py:209-210)
+            outb = x_out[:, :B_pad]
+            outb = outb[:, :, :D] / (outb[:, :, D:] + 1e-16)
+            if branch_keep is not None:
+                outb = outb * branch_keep.astype(outb.dtype)[:, None, None]
+            out_B = jnp.transpose(outb, (1, 0, 2)).reshape(B_pad, nb * D)
 
     out = out_B @ lp["gnn_transform"]["w"] + lp["gnn_transform"]["b"]
     if ms.conv_type == "SAGE":

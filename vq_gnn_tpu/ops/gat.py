@@ -655,3 +655,136 @@ def _gat_conv_vjp_bwd(res, g):
 
 
 gat_conv_ell.defvjp(_gat_conv_vjp_fwd, _gat_conv_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# multi-head (per-branch) GAT conv for the v1 'bm' formulation
+# ---------------------------------------------------------------------------
+@jax.custom_vjp
+def gat_conv_ell_mh(edges, x_g, al, ar):
+    """Per-branch attention-weighted slot-ELL aggregation for the v1 mapper
+    layer (``vq_gnn_v1/models.py:186-233``: one attention head per branch,
+    each over its own D(+ones) feature slice).
+
+    Inputs: ``x_g [dim, nb*D]`` branch-blocked features (lane ``n*D + d`` is
+    branch n, feature d — exactly the model's native column grouping);
+    ``al/ar [dim, nb]`` per-node per-branch logits, already Trick-1 scaled.
+    Returns ``(agg [R, nb*D] f32, rowsum [R, nb] f32)`` where ``rowsum`` is
+    each branch's ones-column normalizer (aggregating an explicit ones lane
+    per branch would pad every gather from nb*D=128 to nb*(D+1)=160 lanes).
+
+    This replaces a per-branch ``vmap`` of (gat_edge_values + spmm): nb=32
+    vmapped passes of 5-lane gathers/segment-sums utilize 5/128 of every
+    lane tile; folding the branches into the lane axis runs ONE 128-lane
+    gather + windowed segment-sum per direction.  The custom backward works
+    in the transposed ELL layout (sorted segment-sums, no scatters) and
+    mirrors the per-cell logit cotangent back through ``f_from_t`` for the
+    forward-layout d_ar reduce.
+    """
+    agg, rowsum = _gat_mh_fwd_impl(edges, x_g, al, ar)
+    return agg, rowsum
+
+
+def _gat_mh_ev(ell_row, ell_col, ell_val, al, ar):
+    """Per-cell attention values in a given layout: row-side ``ar`` +
+    col-side ``al`` (v1 convention: a = al[src] + ar[dst], row = dst)."""
+    S, K = ell_col.shape
+    alc = jnp.take(al, ell_col.reshape(-1), axis=0, mode="clip").reshape(
+        S, K, al.shape[1]
+    )
+    arr = jnp.take(ar, ell_row, axis=0, mode="clip")  # [S, nb]
+    a = alc + arr[:, None, :]
+    ev = jnp.exp(jax.nn.leaky_relu(a, NEGATIVE_SLOPE)) * ell_val[:, :, None]
+    return a, ev
+
+
+def _gat_mh_fwd_impl(edges, x_g, al, ar):
+    from vq_gnn_tpu.ops.spmm import sorted_segment_sum
+
+    S, K = edges.ell_col.shape
+    R = edges.num_rows
+    nb = al.shape[1]
+    D = x_g.shape[1] // nb
+    _, ev = _gat_mh_ev(edges.ell_row, edges.ell_col, edges.ell_val, al, ar)
+    nbrs = jnp.take(
+        x_g, edges.ell_col.reshape(-1), axis=0, mode="clip"
+    ).reshape(S, K, nb, D)
+    part = jnp.einsum(
+        "skn,sknd->snd", ev.astype(x_g.dtype), nbrs,
+        preferred_element_type=jnp.float32,
+    ).reshape(S, nb * D)
+    agg = sorted_segment_sum(part, edges.ell_row, R, edges.dense_rows)
+    rowsum = sorted_segment_sum(
+        jnp.sum(ev, axis=1), edges.ell_row, R, edges.dense_rows
+    )
+    return agg, rowsum
+
+
+def _gat_mh_vjp_fwd(edges, x_g, al, ar):
+    out = _gat_mh_fwd_impl(edges, x_g, al, ar)
+    return out, (edges, x_g, al, ar)
+
+
+def _gat_mh_vjp_bwd(res, g):
+    from vq_gnn_tpu.ops.spmm import sorted_segment_sum
+
+    edges, x_g, al, ar = res
+    g_agg, g_rs = g  # [R, nb*D] f32, [R, nb] f32
+    St, Kt = edges.t_ell_col.shape
+    S, K = edges.ell_col.shape
+    R = edges.num_rows
+    nb = al.shape[1]
+    D = x_g.shape[1] // nb
+    gs = x_g.dtype
+
+    # ---- transposed layout: dx, d_al, and the per-cell d_a ----
+    idx_t = edges.t_ell_col.reshape(-1)
+    # transposed cells: row = src (sorted), col = dst, so the logit roles
+    # swap — a_t = take(ar, t_ell_col) + take(al, t_ell_row) = al[src]+ar[dst]
+    a_t, ev_t = _gat_mh_ev(
+        edges.t_ell_row, edges.t_ell_col, edges.t_ell_val, ar, al
+    )
+    g_cols = jnp.take(
+        g_agg.astype(gs), idx_t, axis=0, mode="clip"
+    ).reshape(St, Kt, nb, D)
+    dx_part = jnp.einsum(
+        "skn,sknd->snd", ev_t.astype(gs), g_cols,
+        preferred_element_type=jnp.float32,
+    ).reshape(St, nb * D)
+    dx = sorted_segment_sum(
+        dx_part, edges.t_ell_row, R, edges.dense_rows
+    ).astype(x_g.dtype)
+
+    x_rows_t = jnp.take(x_g, edges.t_ell_row, axis=0, mode="clip").reshape(
+        St, nb, D
+    )
+    g_rs_t = jnp.take(
+        g_rs.astype(gs), idx_t, axis=0, mode="clip"
+    ).reshape(St, Kt, nb)
+    d_ev_t = (
+        jnp.einsum(
+            "sknd,snd->skn", g_cols, x_rows_t,
+            preferred_element_type=jnp.float32,
+        )
+        + g_rs_t
+    )
+    d_a_t = d_ev_t * ev_t * jnp.where(a_t > 0, 1.0, NEGATIVE_SLOPE)
+    d_al = sorted_segment_sum(
+        jnp.sum(d_a_t, axis=1), edges.t_ell_row, R, edges.dense_rows
+    ).astype(al.dtype)
+
+    # ---- forward layout: d_ar via the f_from_t mirror of d_a_t ----
+    # (a flat [S*K, nb] row gather replaces the neighbor re-gather + SDDMM
+    # a forward-layout recompute would need)
+    d_a_f = jnp.take(
+        d_a_t.reshape(St * Kt, nb), edges.f_from_t.reshape(-1), axis=0,
+        mode="fill", fill_value=0.0,
+    ).reshape(S, K, nb)
+    d_ar = sorted_segment_sum(
+        jnp.sum(d_a_f, axis=1), edges.ell_row, R, edges.dense_rows
+    ).astype(ar.dtype)
+
+    return jax.tree.map(jnp.zeros_like, edges), dx, d_al, d_ar
+
+
+gat_conv_ell_mh.defvjp(_gat_mh_vjp_fwd, _gat_mh_vjp_bwd)
