@@ -563,16 +563,8 @@ def layer_forward_bm(
             out_B = out_B * jnp.repeat(branch_keep.astype(out_B.dtype), D)[None, :]
     else:
         dim = B_pad + batch.Bp_pad
-        # per-branch inputs with the appended ones column: [nb, dim, D+1]
-        xb = jnp.transpose(x.reshape(B_pad, nb, D), (1, 0, 2))
-        xfo_b = jnp.transpose(x_fo.reshape(batch.Bp_pad, nb, D), (1, 0, 2))
-        ones = jnp.ones((nb, dim, 1), x.dtype)
-        x_br = jnp.concatenate(
-            [jnp.concatenate([xb, xfo_b], axis=1), ones], axis=2
-        )
-        al = jnp.einsum("ndc,nc->nd", x_br, lp["att_l"])  # [nb, dim]
-        ar = jnp.einsum("ndc,nc->nd", x_br, lp["att_r"])
-        # Trick-1 scale per branch over [X_B || full codebook] rows
+        e = batch.edges
+        # Trick-1 codebook logits per branch over the full codebook
         # (v1 conv computes the max over its B+M input, convs.py:209)
         cb = jnp.concatenate(
             [
@@ -584,27 +576,40 @@ def layer_forward_bm(
         al_cb = jnp.einsum("nmc,nc->nm", cb, lp["att_l"])
         ar_cb = jnp.einsum("nmc,nc->nm", cb, lp["att_r"])
         neg = jnp.float32(-jnp.inf)
-        vb = batch.valid_B[None, :]
-        ml = jnp.maximum(
-            jnp.max(jnp.where(vb, al[:, :B_pad], neg), axis=1), jnp.max(al_cb, axis=1)
-        )
-        mr = jnp.maximum(
-            jnp.max(jnp.where(vb, ar[:, :B_pad], neg), axis=1), jnp.max(ar_cb, axis=1)
-        )
-        scale = (jnp.sqrt(ml**2 + 1.0) * jnp.sqrt(mr**2 + 1.0))[:, None]
-        al, ar = al / scale, ar / scale
-
-        e = batch.edges
         if e.ell_row is not None:
+            # lane-grouped node logits: ONE block-diagonal MXU matmul on the
+            # native [dim, nb*D] input (plus the per-branch ones bias)
+            # replaces the per-branch [nb, dim, D+1] einsum, whose 5-lane
+            # minor dim pads 5 -> 128 in every TPU tile it touches
+            x_input = jnp.concatenate([x, x_fo], axis=0)  # [dim, nb*D]
+            eye = jnp.eye(nb, dtype=x.dtype)
+            W_l = (lp["att_l"][:, :D, None] * eye[:, None, :]).reshape(
+                nb * D, nb
+            )
+            W_r = (lp["att_r"][:, :D, None] * eye[:, None, :]).reshape(
+                nb * D, nb
+            )
+            al_n = x_input @ W_l + lp["att_l"][None, :, D]  # [dim, nb]
+            ar_n = x_input @ W_r + lp["att_r"][None, :, D]
+            vb_c = batch.valid_B[:, None]
+            ml = jnp.maximum(
+                jnp.max(jnp.where(vb_c, al_n[:B_pad], neg), axis=0),
+                jnp.max(al_cb, axis=1),
+            )
+            mr = jnp.maximum(
+                jnp.max(jnp.where(vb_c, ar_n[:B_pad], neg), axis=0),
+                jnp.max(ar_cb, axis=1),
+            )
+            scale_n = (jnp.sqrt(ml**2 + 1.0) * jnp.sqrt(mr**2 + 1.0))[None, :]
+            al_n, ar_n = al_n / scale_n, ar_n / scale_n
+            cd = jnp.dtype(ms.compute_dtype)
+            if x_input.dtype != cd:  # bf16 streaming halves the gather bytes
+                x_input = x_input.astype(cd)
             # branch-folded lane layout: ONE 128-lane gather/segment-sum pass
             # per direction instead of nb vmapped 5-lane passes (ops/gat.py
             # gat_conv_ell_mh); the ones-normalizer comes back as its own
             # [dim, nb] channel instead of an aggregated ones column
-            x_input = jnp.concatenate([x, x_fo], axis=0)  # [dim, nb*D]
-            cd = jnp.dtype(ms.compute_dtype)
-            if x_input.dtype != cd:  # bf16 streaming halves the gather bytes
-                x_input = x_input.astype(cd)
-            agg, rs = gat_conv_ell_mh(e, x_input, al.T, ar.T)
+            agg, rs = gat_conv_ell_mh(e, x_input, al_n, ar_n)
             if probe is not None:  # [nb, B_pad, D+1]
                 p_agg = jnp.transpose(probe[:, :, :D], (1, 0, 2)).reshape(
                     B_pad, nb * D
@@ -614,14 +619,18 @@ def layer_forward_bm(
                     [rs[:B_pad] + probe[:, :, D].T, rs[B_pad:]], axis=0
                 )
             if batch.bm_rev_row is not None:  # exact non-GCN recovery reverse
+                xb = jnp.transpose(x.reshape(B_pad, nb, D), (1, 0, 2))
+                x_br_B = jnp.concatenate(
+                    [xb, jnp.ones((nb, B_pad, 1), x.dtype)], axis=2
+                )
                 info_backward = _bm_exact_reverse_info(
                     vq_state,
                     ms,
                     batch,
-                    x_br[:, :B_pad],
+                    x_br_B,
                     warm_up_rate,
-                    al=al[:, :B_pad],
-                    ar_cb=ar_cb / scale,
+                    al=al_n[:B_pad].T,
+                    ar_cb=ar_cb / scale_n.T,
                     branch_keep=branch_keep,
                 )
             else:
@@ -640,6 +649,27 @@ def layer_forward_bm(
                     branch_keep.astype(out_B.dtype), D
                 )[None, :]
         else:
+            # COO fallback: per-branch inputs with the appended ones column
+            # [nb, dim, D+1] and the reference per-branch logit einsums
+            xb = jnp.transpose(x.reshape(B_pad, nb, D), (1, 0, 2))
+            xfo_b = jnp.transpose(x_fo.reshape(batch.Bp_pad, nb, D), (1, 0, 2))
+            ones = jnp.ones((nb, dim, 1), x.dtype)
+            x_br = jnp.concatenate(
+                [jnp.concatenate([xb, xfo_b], axis=1), ones], axis=2
+            )
+            al = jnp.einsum("ndc,nc->nd", x_br, lp["att_l"])  # [nb, dim]
+            ar = jnp.einsum("ndc,nc->nd", x_br, lp["att_r"])
+            vb = batch.valid_B[None, :]
+            ml = jnp.maximum(
+                jnp.max(jnp.where(vb, al[:, :B_pad], neg), axis=1),
+                jnp.max(al_cb, axis=1),
+            )
+            mr = jnp.maximum(
+                jnp.max(jnp.where(vb, ar[:, :B_pad], neg), axis=1),
+                jnp.max(ar_cb, axis=1),
+            )
+            scale = (jnp.sqrt(ml**2 + 1.0) * jnp.sqrt(mr**2 + 1.0))[:, None]
+            al, ar = al / scale, ar / scale
             ev = jax.vmap(lambda a_l, a_r: gat_edge_values(e.row, e.col, e.val, a_l, a_r))(
                 al, ar
             )

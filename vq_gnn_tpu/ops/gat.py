@@ -709,6 +709,9 @@ def _gat_mh_fwd_impl(edges, x_g, al, ar):
     nbrs = jnp.take(
         x_g, edges.ell_col.reshape(-1), axis=0, mode="clip"
     ).reshape(S, K, nb, D)
+    # ev feeds both the aggregate einsum and the rowsum reduce; without the
+    # barrier XLA re-materializes its gather+exp chain once per consumer
+    ev, nbrs = jax.lax.optimization_barrier((ev, nbrs))
     part = jnp.einsum(
         "skn,sknd->snd", ev.astype(x_g.dtype), nbrs,
         preferred_element_type=jnp.float32,
@@ -747,6 +750,9 @@ def _gat_mh_vjp_bwd(res, g):
     g_cols = jnp.take(
         g_agg.astype(gs), idx_t, axis=0, mode="clip"
     ).reshape(St, Kt, nb, D)
+    # ev_t and g_cols each feed two consumers (dx einsum + d_ev_t einsum /
+    # d_a_t); barrier them so the gathers and exp run once
+    ev_t, g_cols = jax.lax.optimization_barrier((ev_t, g_cols))
     dx_part = jnp.einsum(
         "skn,sknd->snd", ev_t.astype(gs), g_cols,
         preferred_element_type=jnp.float32,
@@ -769,6 +775,8 @@ def _gat_mh_vjp_bwd(res, g):
         + g_rs_t
     )
     d_a_t = d_ev_t * ev_t * jnp.where(a_t > 0, 1.0, NEGATIVE_SLOPE)
+    # consumed by both the d_al reduce and the f_from_t mirror below
+    d_a_t = jax.lax.optimization_barrier(d_a_t)
     d_al = sorted_segment_sum(
         jnp.sum(d_a_t, axis=1), edges.t_ell_row, R, edges.dense_rows
     ).astype(al.dtype)

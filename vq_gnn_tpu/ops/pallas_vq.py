@@ -140,7 +140,7 @@ def fused_assign(
 def _assign_kernel_allb(
     xn_ref, emb_ref, e2_ref, valid_ref, idx_ref, counts_ref, sums_ref, *, fast
 ):
-    i = pl.program_id(0)
+    i = pl.program_id(1)  # B-tile index (grid dim 0 is the branch group)
 
     @pl.when(i == 0)
     def _init():
@@ -231,20 +231,30 @@ def fused_assign_branches(
     v2 = valid.astype(jnp.float32)[None, :]  # [1, B_pad]
     e2 = jnp.sum(emb * emb, axis=2, dtype=jnp.float32)[:, :, None]  # [nb, M, 1]
 
-    grid = (B_pad // tile_b,)
+    # branch-group grid dim: the per-branch emb/e2/counts/sums windows are
+    # lane-padded (K or 1 -> 128 lanes), so keeping ALL nb branches resident
+    # costs nb*M*128*4 bytes PER BUFFER — at nb=32, M=1024 that is 4 x 16MB
+    # of TB-independent VMEM and the 64MB scoped stack rejects the kernel
+    # (measured 68.25M on the bm GAT workload, and shrinking TB only saved
+    # 2.1M).  Chunking branches over the grid keeps bg*M <= 12288 rows
+    # resident; B tiles iterate fastest so counts/sums accumulate per group.
+    bg = nb
+    while bg * M > 12288 and bg % 2 == 0:
+        bg //= 2
+    grid = (nb // bg, B_pad // tile_b)
     idx, counts, sums = pl.pallas_call(
         functools.partial(_assign_kernel_allb, fast=fast),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nb, K, tile_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, M, K), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, M, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, K, tile_b), lambda j, i: (j, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, M, K), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, M, 1), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b), lambda j, i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((nb, 1, tile_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, M, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, M, K), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, 1, tile_b), lambda j, i: (j, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, M, 1), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, M, K), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, 1, B_pad), jnp.int32),

@@ -472,12 +472,15 @@ class BatchLoader:
             self._tb_bucket = {
                 "multiple": max(self.cfg.pad_multiple_edges // max(self.cfg.ell_K, 1), 64)
             }
-        # backward truncation only holds for the bbprime model contract
-        # (x rows >= B_pad are codebook lookups); bm codeword rows and
-        # multi-host fixed-pad runs keep the exact full VJP
+        # backward truncation: x rows >= B_pad are codebook lookups in BOTH
+        # formulations (bbprime fo-ids and bm per-neighbor codeword rows) —
+        # their spmm cotangent flows only into the non-differentiated
+        # vq_state, so the VJP can skip the >= B_pad transposed slots.  The
+        # bm GAT branch rides gat_conv_ell_mh, which computes the exact full
+        # VJP regardless (d_al/d_ar of codeword rows ARE live there).
+        # Multi-host fixed-pad runs keep the exact full VJP.
         use_tb = (
-            self.cfg.formulation == "bbprime"
-            and self.cfg.spmm_backend == "ell"
+            self.cfg.spmm_backend == "ell"
             and not self.cfg.fixed_B_pad
             and self.train_flag
         )
