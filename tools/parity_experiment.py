@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--formulation", default="bbprime",
                     choices=["bbprime", "bm"])
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    ap.add_argument(
+        "--diag-log",
+        default=None,
+        help="JSONL path for per-eval VQ codebook-health records on the VQ "
+        "arm (usage entropy/floor, assignment churn, codeword drift)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -127,6 +133,7 @@ def main():
         eval_every=args.eval_every,
         exact_epochs=args.exact_epochs,
         verbose=True,
+        vq_diag_path=args.diag_log,
     )
     dt = time.time() - t0
     src = "real ogbn-arxiv" if os.path.exists(real) else f"synthetic SBM N={n}"

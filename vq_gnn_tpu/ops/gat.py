@@ -367,7 +367,10 @@ def _gat_conv_fwd_impl(edges, x, att_l, att_r, scale, with_neg=True):
     R = edges.num_rows
     from vq_gnn_tpu.ops.spmm import ell_fused_ok
 
-    if ell_fused_ok(edges.dense_rows, edges.ell_row.shape[0], C):
+    # 4 windowed output channels with_neg (agg, aggn, rowsum, rsn) / 2 without
+    if ell_fused_ok(
+        edges.dense_rows, edges.ell_row.shape[0], C, R, 4 if with_neg else 2
+    ):
         # one VMEM pass over the gathered block: logits (MXU) + exp +
         # ev-weighted K-reduce + windowed segment-sum, incl. the masked
         # backward channel and the ones-normalizer scalars; ar comes from
@@ -501,7 +504,7 @@ def _gat_conv_vjp_bwd(res, g):
     )
     from vq_gnn_tpu.ops.spmm import ell_fused_ok
 
-    if C % 128 == 0 and ell_fused_ok(edges.dense_rows, St, C):
+    if C % 128 == 0 and ell_fused_ok(edges.dense_rows, St, C, R, 2):
         # fused tile: everything between the cotangent gather(s) and the
         # segment-sums runs in one VMEM pass (ops/pallas_ell.py).  d_scale
         # gets an exact closed form below (a is row/col-separable), so no

@@ -24,8 +24,9 @@ real hardware.  The real-data protocol to reproduce the reference's OGB runs
 from __future__ import annotations
 
 import dataclasses
+import json
 import time
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -33,6 +34,42 @@ from vq_gnn_tpu.config import Config
 from vq_gnn_tpu.graph.datasets import prepare
 from vq_gnn_tpu.graph.store import HostGraph
 from vq_gnn_tpu.train.loop import NodeTrainer
+
+
+def _vq_health_record(tr: NodeTrainer, epoch: int, prev):
+    """One JSONL record of per-layer codebook health (usage floor/entropy,
+    assignment churn vs the previous snapshot, codeword drift) — the
+    reference's exp_log catalogue (utils/logger.py:89-232) applied to the
+    question "is the late-epoch accuracy dip a codebook pathology?"."""
+    from vq_gnn_tpu.utils.diagnostics import codebook_stats
+
+    layers = []
+    nxt: List[Tuple[np.ndarray, np.ndarray]] = []
+    for l, s in enumerate(tr.state.vq_states):
+        st = codebook_stats(s, tr.ms.vq)
+        c = np.asarray(s.c_indices)[:-1, :]  # [N, nb] (dustbin row dropped)
+        emb = np.asarray(s.embedding)  # [nb, M, 2D]
+        churn = drift = None
+        if prev is not None:
+            pc, pe = prev[l]
+            churn = float((c != pc).mean())
+            drift = float(
+                np.linalg.norm(emb - pe) / max(np.linalg.norm(pe), 1e-12)
+            )
+        layers.append(
+            {
+                "layer": l,
+                "eff_codewords": float(np.mean(st["effective_codewords"])),
+                "cluster_size_min": float(st["cluster_size_min"].min()),
+                "cluster_size_max": float(st["cluster_size_max"].max()),
+                "feat_std": float(np.mean(st["feat_std_per_dim"])),
+                "grad_std": float(np.mean(st["grad_std_per_dim"])),
+                "churn": churn,
+                "codeword_drift": drift,
+            }
+        )
+        nxt.append((c, emb))
+    return {"epoch": epoch, "layers": layers}, nxt
 
 
 def exact_config(cfg: Config, num_nodes: int) -> Config:
@@ -61,6 +98,7 @@ def train_to_acc(
     epochs: int,
     eval_every: int = 1,
     verbose: bool = False,
+    diag_path: Optional[str] = None,
 ) -> Dict[str, float]:
     """Train one config from scratch; return best-by-valid statistics.
 
@@ -73,6 +111,9 @@ def train_to_acc(
     tr = NodeTrainer(g, cfg, c, cluster_indices=ci)
     tr.run_init_sweep()
     history = []
+    diag_prev, diag_f = None, None
+    if diag_path:
+        diag_f = open(diag_path, "w")
     t0 = time.time()
     for epoch in range(1, epochs + 1):
         loss, loss_cls = tr.train_epoch(epoch)
@@ -80,6 +121,12 @@ def train_to_acc(
             res = tr.evaluate()
             tr.logger.add_result(0, res)
             history.append((epoch, loss_cls) + res)
+            if diag_f is not None:
+                rec, diag_prev = _vq_health_record(tr, epoch, diag_prev)
+                rec["loss_cls"] = float(loss_cls)
+                rec["train"], rec["valid"], rec["test"] = map(float, res)
+                diag_f.write(json.dumps(rec) + "\n")
+                diag_f.flush()
             if verbose:
                 print(
                     f"  epoch {epoch}: loss {loss_cls:.4f} "
@@ -87,6 +134,8 @@ def train_to_acc(
                     f"[{time.time() - t0:.1f}s]",
                     flush=True,
                 )
+    if diag_f is not None:
+        diag_f.close()
     stats = tr.logger.statistics(0)
     return {
         "best_valid": stats["highest_valid"] / 100.0,
@@ -103,6 +152,7 @@ def parity_gap(
     eval_every: int = 1,
     exact_epochs: Optional[int] = None,
     verbose: bool = False,
+    vq_diag_path: Optional[str] = None,
 ) -> Dict[str, object]:
     """Train exact full-graph and live-VQ mini-batch from the same seed;
     return both results and the test-accuracy gap (exact - vq)."""
@@ -119,6 +169,8 @@ def parity_gap(
             f"{vq_cfg.sampler_type}) ...",
             flush=True,
         )
-    vq = train_to_acc(graph_fn, vq_cfg, epochs, eval_every, verbose)
+    vq = train_to_acc(
+        graph_fn, vq_cfg, epochs, eval_every, verbose, diag_path=vq_diag_path
+    )
     gap = exact["test_at_best_valid"] - vq["test_at_best_valid"]
     return {"exact": exact, "vq": vq, "gap": float(gap)}
