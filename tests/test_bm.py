@@ -368,3 +368,98 @@ def test_bm_gat_ell_grads_match_coo(recovery):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
         )
+
+
+@pytest.mark.parametrize("conv", ["GCN", "SAGE"])
+def test_bm_spmm_ell_grads_match_coo_truncation_disabled(conv):
+    """The dead-cotangent contract for the non-GAT bm spmm (model.py
+    layer_forward_bm): with Edges.b_rows truncation DISABLED the ELL path
+    must match COO on every gradient including the codebook embeddings;
+    with the shipped truncation, d_emb through the spmm is intentionally
+    zero (codebooks are EMA-updated, never gradient-trained) while all
+    params/x/probe gradients are untouched."""
+    D, nb, M = 2, 3, 4
+    outs = {}
+    for backend, truncate in (("ell", False), ("ell", True), ("coo", False)):
+        cfg = Config(
+            dataset="synthetic",
+            formulation="bm",
+            conv_type=conv,
+            recovery_flag=False,
+            num_layers=2,
+            hidden_channels=D * nb,
+            num_D=D,
+            num_M=M,
+            batch_size=96,
+            test_batch_size=300,
+            pad_multiple_nodes=8,
+            pad_multiple_edges=64,
+            warm_up_flag=True,
+            skip=True,
+            spmm_backend=backend,
+        )
+        g, c_ = synthetic_sbm(num_nodes=300, num_features=D * nb, num_classes=3, seed=9)
+        g, c_, _ = prepare(g, cfg, c_)
+        ms = model_static(cfg, g.num_features, 3)
+        params = init_params(jax.random.PRNGKey(0), ms)
+        vq = init_vq_state(jax.random.PRNGKey(1), nb, g.num_nodes, ms.vq)
+        vq = vq.replace(
+            embedding_output=jax.random.normal(
+                jax.random.PRNGKey(2), vq.embedding_output.shape
+            )
+        )
+        loader = BatchLoader(g, cfg, train_flag=True, shuffle=False, seed=0)
+        windows, raw = next(iter(loader))
+        batch, node_idx = windows[0], raw[0]
+        if backend == "ell" and truncate:
+            # the assert below is only meaningful when the bucket-quantized
+            # prefix bound actually truncates (tb < St); guard non-vacuity
+            tb = batch.edges.t_b_slots
+            assert 0 < tb < batch.edges.t_ell_row.shape[0], (
+                tb, batch.edges.t_ell_row.shape,
+            )
+        if not truncate and backend == "ell":
+            batch = batch.replace(
+                edges=batch.edges.replace(b_rows=0, t_b_slots=0)
+            )
+        B = len(node_idx)
+        x_pad = (
+            jnp.zeros((batch.B_pad, g.num_features))
+            .at[:B]
+            .set(jnp.asarray(g.x[node_idx]))
+        )
+        probe0 = jnp.zeros((batch.B_pad, D * nb))  # non-GAT: added to x_out
+
+        def loss_fn(lp, xp, emb, pr):
+            out, info = layer_forward_bm(
+                lp, vq.replace(embedding_output=emb), ms, xp, batch, pr,
+                jnp.float32(0.7), True,
+            )
+            return jnp.sum(out**2) + info
+
+        val, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3))(
+            params[0], x_pad, vq.embedding_output, probe0
+        )
+        outs[(backend, truncate)] = (val, grads)
+
+    v_full, g_full = outs[("ell", False)]
+    v_coo, g_coo = outs[("coo", False)]
+    np.testing.assert_allclose(float(v_full), float(v_coo), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_coo)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
+    # shipped truncation: identical on params/x/probe, zero on d_emb via spmm
+    v_tr, g_tr = outs[("ell", True)]
+    np.testing.assert_allclose(float(v_tr), float(v_full), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(g_tr[0]), jax.tree.leaves(g_full[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_tr[1]), np.asarray(g_full[1]), rtol=5e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_tr[3]), np.asarray(g_full[3]), rtol=5e-4, atol=5e-5
+    )
+    assert float(np.abs(np.asarray(g_tr[2])).sum()) == 0.0, (
+        "truncated spmm should zero the codebook-embedding cotangent"
+    )

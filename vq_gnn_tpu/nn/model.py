@@ -545,6 +545,16 @@ def layer_forward_bm(
         )[None, :]
 
     if not gat:
+        # DEAD-COTANGENT CONTRACT (Edges.b_rows): rows >= B_pad of x_input
+        # are the codebook-lookup features x_fo, whose only differentiable
+        # consumers are the params/probes paths — gradients wrt the
+        # embedding tables themselves are never taken in training (codebooks
+        # update by EMA, grad_fo is stop_gradient'ed).  The spmm VJP
+        # therefore truncates dx to rows < b_rows and returns zeros above
+        # (ops/spmm.py).  Anything that differentiates through vq_state
+        # embeddings via THIS spmm (e.g. jax.grad argnums over vq_state, as
+        # tests/test_bm.py does for the GAT mh path) must build its Edges
+        # with b_rows=0 or it gets silently-zero gradients.
         x_input = jnp.concatenate([x, x_fo], axis=0)
         x_out = spmm(batch.edges, x_input)
         if probe is not None:

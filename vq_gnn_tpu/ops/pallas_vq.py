@@ -238,9 +238,13 @@ def fused_assign_branches(
     # (measured 68.25M on the bm GAT workload, and shrinking TB only saved
     # 2.1M).  Chunking branches over the grid keeps bg*M <= 12288 rows
     # resident; B tiles iterate fastest so counts/sums accumulate per group.
-    bg = nb
-    while bg * M > 12288 and bg % 2 == 0:
-        bg //= 2
+    # largest divisor of nb with bg*M <= 12288 (repeated halving strands odd
+    # nb / small power-of-2 factors above the bound and the kernel is still
+    # rejected); bg=1 always satisfies M <= 12288 for every shipped config
+    bg = max(
+        (d for d in range(1, nb + 1) if nb % d == 0 and d * M <= 12288),
+        default=1,
+    )
     grid = (nb // bg, B_pad // tile_b)
     idx, counts, sums = pl.pallas_call(
         functools.partial(_assign_kernel_allb, fast=fast),

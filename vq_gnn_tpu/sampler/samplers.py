@@ -445,8 +445,12 @@ class BatchLoader:
         ell_K = S_pad = St_pad = ell_Kt = 0
         mixed_pads = None
         # mixed-K: plain spmm convs AND the fused GAT kernel (both recompute
-        # the transposed side from scratch, so no cross-layout maps needed);
-        # the bm GAT branch is per-branch gat_ell_values and keeps single-K
+        # the transposed side from scratch, so no cross-layout maps needed).
+        # The bm GAT branch rides gat_conv_ell_mh, whose backward mirrors the
+        # per-cell d_a through f_from_t — a map only the single-K ELL builder
+        # produces — so the exclusion here is load-bearing: dropping it would
+        # send bm GAT to the COO fallback, which crashes under the ell
+        # backend (e.row is None).
         use_mixed = (
             self.cfg.spmm_backend == "ell"
             and self.cfg.ell_Kt > 0
