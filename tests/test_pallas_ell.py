@@ -153,8 +153,10 @@ def test_gat_bwd_merged_matches_split(C, dtype):
 
     g_cat = jnp.concatenate([g_agg, g_rs, ar_node[:, None]], axis=1)
     gf = jnp.take(g_cat, idx, axis=0, mode="clip")
+    # merged takes the WHOLE x table and windows it by the sorted t_row
+    # in-kernel (round-4); the split kernel still takes gathered rows
     dx_m, dal_m = gat_bwd_fused_merged(
-        gf, x_rows, t_row, t_val, att_l[:C], att_l[C], scale, R,
+        gf, xs, t_row, t_val, att_l[:C], att_l[C], scale, R,
         interpret=True,
     )
 

@@ -367,10 +367,7 @@ def _gat_conv_fwd_impl(edges, x, att_l, att_r, scale, with_neg=True):
     R = edges.num_rows
     from vq_gnn_tpu.ops.spmm import ell_fused_ok
 
-    # 4 windowed output channels with_neg (agg, aggn, rowsum, rsn) / 2 without
-    if ell_fused_ok(
-        edges.dense_rows, edges.ell_row.shape[0], C, R, 4 if with_neg else 2
-    ):
+    if ell_fused_ok(edges.dense_rows, edges.ell_row.shape[0], C):
         # one VMEM pass over the gathered block: logits (MXU) + exp +
         # ev-weighted K-reduce + windowed segment-sum, incl. the masked
         # backward channel and the ones-normalizer scalars; ar comes from
@@ -385,8 +382,13 @@ def _gat_conv_fwd_impl(edges, x, att_l, att_r, scale, with_neg=True):
             R, with_neg=with_neg,
         )
         return agg, rowsum[:, None], aggn, rsn, ar_node
-    nbrs = jnp.take(x, edges.ell_col.reshape(-1), axis=0, mode="clip").reshape(
-        edges.ell_col.shape + (C,)
+    # barrier: nbrs feeds the logit einsum AND both parts einsums — without
+    # it XLA re-materializes the [S*K, C] gather once per consumer (profiled
+    # 51 ms/step vs ~12 for a single gather pass at the bench shape)
+    nbrs = jax.lax.optimization_barrier(
+        jnp.take(x, edges.ell_col.reshape(-1), axis=0, mode="clip").reshape(
+            edges.ell_col.shape + (C,)
+        )
     )  # [S, K, C]
     al_cols = (
         jnp.einsum("skc,c->sk", nbrs, att_l[:C].astype(x.dtype),
@@ -504,14 +506,13 @@ def _gat_conv_vjp_bwd(res, g):
     )
     from vq_gnn_tpu.ops.spmm import ell_fused_ok
 
-    if C % 128 == 0 and ell_fused_ok(edges.dense_rows, St, C, R, 2):
+    if C % 128 == 0 and ell_fused_ok(edges.dense_rows, St, C):
         # fused tile: everything between the cotangent gather(s) and the
         # segment-sums runs in one VMEM pass (ops/pallas_ell.py).  d_scale
         # gets an exact closed form below (a is row/col-separable), so no
         # per-cell d_scale channel is needed.
         import os
 
-        x_rows_t = jnp.take(x, edges.t_ell_row, axis=0, mode="clip")
         if C == 128 and os.environ.get("VQ_GNN_GAT_MERGED", "auto") != "off":
             # ONE merged [R, C+2] gather: the narrow [R, 2] ride-along
             # gather costs a full row-gather pass (row-count bound,
@@ -519,6 +520,8 @@ def _gat_conv_vjp_bwd(res, g):
             # at 2.1M rows) — fold rs/ar into the cotangent source instead.
             # At C>=256 the split measured faster (round-2: 23 vs 29 ms),
             # so the two-gather path below stays for wider channels.
+            # x is NOT gathered: the kernel windows it by the sorted
+            # t_ell_row (saves a 2.9 ms/layer [St, C] row gather).
             from vq_gnn_tpu.ops.pallas_ell import gat_bwd_fused_merged
 
             g_cat = jnp.concatenate(
@@ -527,12 +530,13 @@ def _gat_conv_vjp_bwd(res, g):
             )
             gf = jnp.take(g_cat, idx_t, axis=0, mode="clip")
             dx_agg, d_al_node = gat_bwd_fused_merged(
-                gf, x_rows_t, edges.t_ell_row, edges.t_ell_val,
+                gf, x, edges.t_ell_row, edges.t_ell_val,
                 att_l[:C], att_l[C], scale, R,
             )
         else:
             from vq_gnn_tpu.ops.pallas_ell import gat_bwd_fused
 
+            x_rows_t = jnp.take(x, edges.t_ell_row, axis=0, mode="clip")
             gl = jnp.take(g_lo, idx_t, axis=0, mode="clip")
             gh = jnp.take(g_hi, idx_t, axis=0, mode="clip")
             dx_agg, d_al_node = gat_bwd_fused(

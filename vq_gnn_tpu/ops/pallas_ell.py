@@ -121,6 +121,14 @@ def _make_fwd_kernel(K: int, C: int, gat: bool, with_neg: bool,
             j = 3
         outs = list(rest[j : j + n_ch])
         scratch = list(rest[j + n_ch :])
+        if gat:
+            # ar stays in HBM ([R_pad, 1] resident in VMEM lane-pads 1 -> 128
+            # physically: 90.7MB of scoped stack at full-graph N=169k, the
+            # measured OOM); stream the 8-aligned [T+8] row window per tile.
+            # The HBM array is [R_pad, 128] with lane 0 live — Mosaic requires
+            # HBM slices lane-aligned to 128, so a [*, 1] window is illegal.
+            ar_hbm_win, ar_sem = scratch[0], scratch[1]
+            scratch = scratch[2:]
         i = pl.program_id(0)
         T = seg_ref.shape[0]
         r0a = r0as_ref[i]
@@ -139,13 +147,28 @@ def _make_fwd_kernel(K: int, C: int, gat: bool, with_neg: bool,
                 )
                 + alb_ref[0, 0]
             ) / alb_ref[0, 1]  # [T, K]
-            # row-side logits from the same 8-aligned row window
-            ar_win = ar_ref[pl.ds(pl.multiple_of(r0a, 8), T + 8), :]  # [T+8,1]
+            # row-side logits from the same 8-aligned row window (HBM DMA)
+            cp_ar = pltpu.make_async_copy(
+                ar_ref.at[pl.ds(pl.multiple_of(r0a, 8), T + 8)],
+                ar_hbm_win,
+                ar_sem,
+            )
+            cp_ar.start()
+            cp_ar.wait()
             rel_a = jnp.clip(seg - r0a, 0, T + 7)
             iota_a = jax.lax.broadcasted_iota(jnp.int32, (1, T + 8), 1)
             ohA = (rel_a == iota_a).astype(jnp.float32)  # [T, T+8]
+            # lane-0 extraction via basis dot (a [*, :1] slice of the
+            # (8,128)-tiled window would be an unaligned lane slice)
+            e0 = (
+                jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0) == 0
+            ).astype(jnp.float32)
+            ar_col = jax.lax.dot_general(
+                ar_hbm_win[:], e0, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T+8, 1]
             ar_slot = jax.lax.dot_general(
-                ohA, ar_win, dimension_numbers=(((1,), (0,)), ((), ())),
+                ohA, ar_col, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [T, 1]
             a = al + ar_slot
@@ -191,10 +214,13 @@ def _ell_fused_impl(
     ]
     inputs = [seg.reshape(S, 1), nbrs_flat, val.astype(jnp.float32)]
     if gat:
-        # ar window reads reach [r0a, r0a + T + 8) incl. the dustbin tile
-        ar_pad = jnp.zeros((R_pad, 1), jnp.float32).at[: ar.shape[0], 0].set(ar)
+        # ar window reads reach [r0a, r0a + T + 8) incl. the dustbin tile;
+        # the array stays in HBM (ANY) and the kernel DMAs the aligned
+        # window — VMEM use is then R-independent (see kernel comment).
+        # Lane dim is 128 (lane 0 live): HBM slices must be 128-lane aligned.
+        ar_pad = jnp.zeros((R_pad, 128), jnp.float32).at[: ar.shape[0], 0].set(ar)
         in_specs += [
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ar [R_pad, 1], whole
+            pl.BlockSpec(memory_space=pltpu.ANY),  # ar [R_pad, 1], HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # alv [1, C], whole
             pl.BlockSpec((1, 2), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
         ]
@@ -210,6 +236,11 @@ def _ell_fused_impl(
     n_scal = (1 + (1 if with_neg else 0)) if (gat and with_rowsum) else 0
     widths = [C] * n_mat + [1] * n_scal
     ch_meta, scratch = _channel_outputs(T, C, widths)
+    if gat:  # ar window scratch + DMA sem, read by the kernel before channels
+        scratch = [
+            pltpu.VMEM((T + 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ] + scratch
     out_shapes = [
         jax.ShapeDtypeStruct((R_pad, wl), jnp.float32) for _, wl in ch_meta
     ]
@@ -313,13 +344,20 @@ def _make_bwd_kernel_merged(K: int, C: int):
     ride-along source (45.6 ms vs 23.5 for one 128-wide gather — gathers are
     row-count bound); a single [R, C+2] gather is 29.7 ms f32 / 27.3 bf16,
     i.e. ~35-40% less cotangent-gather time.  Same math as _make_bwd_kernel.
+
+    The slot-side x rows are NOT gathered: t_ell_row is ascending gap-free,
+    so a tile's rows live in the same 8-aligned [T+8] window the segment-sum
+    uses — the kernel DMAs that window of x from HBM and selects per-slot
+    rows with a one-hot MXU matmul (an XLA [St, C] row gather of the sorted
+    index cost 2.9 ms/layer at the bench shape; the window DMA is ~0.1 ms).
     """
     n_chunks = C // 128
 
     def kernel(r0as_ref, prev_eq_ref, seg_ref, gf_ref, x_ref, val_ref,
                alv_ref, alb_ref, *rest):
         outs = list(rest[0:2])
-        scratch = list(rest[2:])
+        x_win, x_sem = rest[2], rest[3]
+        scratch = list(rest[4:])
         i = pl.program_id(0)
         T = seg_ref.shape[0]
         r0a = r0as_ref[i]
@@ -329,7 +367,18 @@ def _make_bwd_kernel_merged(K: int, C: int):
         )
 
         g3 = gf_ref[:].reshape(T, K, C + 2)  # leading-dim reshape only
-        x_l = x_ref[:]  # [T, C]
+        cp_x = pltpu.make_async_copy(
+            x_ref.at[pl.ds(pl.multiple_of(r0a, 8), T + 8)], x_win, x_sem
+        )
+        cp_x.start()
+        cp_x.wait()
+        rel = jnp.clip(seg_ref[:] - r0a, 0, T + 7)  # [T, 1]
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, T + 8), 1)
+        ohX = (rel == iota_w).astype(x_win.dtype)  # [T, T+8]
+        x_l = jax.lax.dot_general(
+            ohX, x_win[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, C] f32
         val = val_ref[:]  # [T, K]
         g3f = g3.astype(jnp.float32)
         # ride-along lane extraction via basis masks (single-lane slices of a
@@ -369,10 +418,10 @@ def _make_bwd_kernel_merged(K: int, C: int):
 @functools.partial(
     jax.jit, static_argnames=("num_rows", "tile", "interpret")
 )
-def _gat_bwd_impl_merged(gf, x_rows, seg, val, alv, alb, scale, num_rows,
+def _gat_bwd_impl_merged(gf, x_full, seg, val, alv, alb, scale, num_rows,
                          tile, interpret):
     St, K = val.shape
-    C = x_rows.shape[1]
+    C = x_full.shape[1]
     assert gf.shape[1] == C + 2, (gf.shape, C)
     T = tile
     assert St % T == 0
@@ -381,23 +430,31 @@ def _gat_bwd_impl_merged(gf, x_rows, seg, val, alv, alb, scale, num_rows,
     r0as, prev_eq = aligned_window_meta(seg, T)
     R_pad = ((num_rows + T + 16) // 8) * 8
 
+    # x stays whole in HBM; the kernel DMAs the [r0a, r0a+T+8) row window
+    x_pad = jnp.zeros((R_pad, C), x_full.dtype).at[: x_full.shape[0]].set(
+        x_full
+    )
     in_specs = [
         pl.BlockSpec((T, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T * K, C + 2), lambda i, *_: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, C), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # x [R_pad, C], HBM
         pl.BlockSpec((T, K), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # alv [1, C]
         pl.BlockSpec((1, 2), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
     ]
     inputs = [
-        seg.reshape(St, 1), gf, x_rows, val.astype(jnp.float32),
+        seg.reshape(St, 1), gf, x_pad, val.astype(jnp.float32),
         alv.astype(jnp.float32).reshape(1, C),
         jnp.stack(
             [jnp.asarray(alb, jnp.float32), jnp.asarray(scale, jnp.float32)]
         ).reshape(1, 2),
     ]
     ch_meta, scratch = _channel_outputs(T, C, [C, 1])
+    scratch = [
+        pltpu.VMEM((T + 8, C), x_full.dtype),  # x window (DMA dst)
+        pltpu.SemaphoreType.DMA,
+    ] + scratch
     out_shapes = [
         jax.ShapeDtypeStruct((R_pad, wl), jnp.float32) for _, wl in ch_meta
     ]
@@ -423,7 +480,7 @@ def _gat_bwd_impl_merged(gf, x_rows, seg, val, alv, alb, scale, num_rows,
 
 def gat_bwd_fused_merged(
     gf: jnp.ndarray,  # [St*K, C+2] gathered [cotangent | g_rowsum | ar]
-    x_rows: jnp.ndarray,  # [St, C] x gathered by t_ell_row
+    x_full: jnp.ndarray,  # [num_cols, C] whole x — windowed in-kernel
     seg: jnp.ndarray,  # [St] t_ell_row (ascending gap-free)
     val: jnp.ndarray,  # [St, K] t_ell_val
     alv: jnp.ndarray,  # [C] att_l[:C] (unscaled)
@@ -442,7 +499,7 @@ def gat_bwd_fused_merged(
     if T is None:
         raise ValueError(f"St={val.shape[0]} has no 128/256/512 tile divisor")
     return _gat_bwd_impl_merged(
-        gf, x_rows, seg, val, alv, alb, scale, num_rows, T, interpret
+        gf, x_full, seg, val, alv, alb, scale, num_rows, T, interpret
     )
 
 

@@ -145,37 +145,22 @@ def pallas_segsum_ok(dense_rows: bool, lanes: int = 128) -> bool:
     )
 
 
-def ell_fused_ok(
-    dense_rows: bool,
-    S: int,
-    lanes: int = 128,
-    num_rows: Optional[int] = None,
-    n_channels: int = 1,
-) -> bool:
+def ell_fused_ok(dense_rows: bool, S: int, lanes: int = 128) -> bool:
     """True when the fully-fused ELL aggregate kernel applies (gather output
     consumed in VMEM: weighting + K-reduce + windowed segment-sum in one
     pass).  Same invariants as the windowed segment-sum plus a slot count
-    divisible by a supported tile, plus a scoped-VMEM budget check: XLA
-    allocates the kernel's [R_pad, >=128] output channels on the VMEM stack,
-    so at full-graph scale a many-channel call (GAT forward: agg + aggn +
-    2 scalar channels = 4) exceeds the 100MB scoped limit — measured at
-    N=169,343 (4 x 176656 x 128 x 4B = 90.5MB + input blocks = 102.8MB).
-    Callers pass ``num_rows``/``n_channels`` so the dispatch falls back to
-    the unfused windowed-segsum path (<= 2 channels per pallas call) instead
-    of failing to compile."""
+    divisible by a supported tile.
+
+    VMEM scaling note: the kernels' per-tile footprint is R-independent —
+    the GAT ``ar`` vector stays in HBM and is window-DMA'd per tile
+    (pallas_ell.py), after a full-graph N=169k run showed a whole-array
+    [R_pad, 1] VMEM input lane-pads 1 -> 128 and alone eats 90.7MB of the
+    100MB scoped stack."""
     # read the env per call: tools/benchmarks toggle it between jit traces
     if os.environ.get("VQ_GNN_ELL_FUSED", "auto") not in (
         "auto", "interpret"
     ) or not pallas_segsum_ok(dense_rows, lanes):
         return False
-    if num_rows is not None:
-        # R_pad ~ num_rows + tile + 16; lanes tile to >= 128 physically
-        out_bytes = n_channels * (num_rows + 1024) * max(lanes, 128) * 4
-        budget = int(
-            os.environ.get("VQ_GNN_FUSED_OUT_BUDGET", 80 * 1024 * 1024)
-        )
-        if out_bytes > budget:
-            return False
     from vq_gnn_tpu.ops.pallas_ell import fused_tile_ok
 
     return fused_tile_ok(S)
@@ -199,7 +184,7 @@ def _ell_matvec(ell_row, ell_col, ell_val, x, num_rows, dense_rows=False):
     applies, everything downstream of the gather runs in one VMEM pass."""
     S, K = ell_col.shape
     nbrs_flat = jnp.take(x, ell_col.reshape(-1), axis=0, mode="clip")
-    if ell_fused_ok(dense_rows, S, x.shape[1], num_rows, 1):
+    if ell_fused_ok(dense_rows, S, x.shape[1]):
         from vq_gnn_tpu.ops.pallas_ell import ell_aggregate_fused
 
         return ell_aggregate_fused(nbrs_flat, ell_row, ell_val, num_rows)
