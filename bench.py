@@ -50,7 +50,11 @@ def main():
     profile = os.environ.get("VQ_GNN_BENCH_PROFILE", "arxiv")
     if profile == "products":
         N_syn, deg_syn, feat_syn, cls_syn = 2_449_029, 50.0, 100, 47
-        parts_syn, batch_parts = 200, 8  # B ~ 98k, arxiv-batch-sized
+        # 2 of 200 parts: B ~ 25k but E ~ 13M/step (products' degree is 4x
+        # arxiv's and the 87% edge cut pulls a ~1.2M-node boundary) — the
+        # [S*K, C] gathered block is the HBM limiter: 8 parts = 52M edges
+        # = 29 GB f32, over the 16 GB chip; 2 parts fits at ~7 GB.
+        parts_syn, batch_parts = 200, 2
     else:
         N_syn, deg_syn, feat_syn, cls_syn = 169_343, 13.7, 128, 40
         parts_syn, batch_parts = 80, 40

@@ -46,6 +46,15 @@ def main():
                     choices=["bbprime", "bm"])
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     ap.add_argument(
+        "--exact-lr", type=float, default=None,
+        help="tuned lr for the exact full-graph control (1 step/epoch; "
+        "minibatch-tuned rates undertrain it — see train/parity.py)",
+    )
+    ap.add_argument(
+        "--arms", default="both", choices=["both", "exact", "vq"],
+        help="run only one arm (long controls can be scheduled separately)",
+    )
+    ap.add_argument(
         "--diag-log",
         default=None,
         help="JSONL path for per-eval VQ codebook-health records on the VQ "
@@ -134,6 +143,8 @@ def main():
         exact_epochs=args.exact_epochs,
         verbose=True,
         vq_diag_path=args.diag_log,
+        exact_lr=args.exact_lr,
+        arms=args.arms,
     )
     dt = time.time() - t0
     src = "real ogbn-arxiv" if os.path.exists(real) else f"synthetic SBM N={n}"
@@ -142,6 +153,8 @@ def main():
     print(f"{'':16s}{'best valid':>12s}{'test@best':>12s}{'final test':>12s}")
     for k in ("exact", "vq"):
         r = res[k]
+        if r is None:
+            continue
         print(
             f"{k:16s}{r['best_valid']:>12.4f}{r['test_at_best_valid']:>12.4f}"
             f"{r['final_test']:>12.4f}"
@@ -164,8 +177,12 @@ def main():
                 "conv": args.conv,
                 "formulation": args.formulation,
                 "epochs": args.epochs,
-                "exact_test": res["exact"]["test_at_best_valid"],
-                "vq_test": res["vq"]["test_at_best_valid"],
+                "exact_test": None
+                if res["exact"] is None
+                else res["exact"]["test_at_best_valid"],
+                "vq_test": None
+                if res["vq"] is None
+                else res["vq"]["test_at_best_valid"],
                 "gap": res["gap"],
                 "seconds": round(dt, 1),
             }

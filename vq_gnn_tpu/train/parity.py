@@ -72,13 +72,23 @@ def _vq_health_record(tr: NodeTrainer, epoch: int, prev):
     return {"epoch": epoch, "layers": layers}, nxt
 
 
-def exact_config(cfg: Config, num_nodes: int) -> Config:
+def exact_config(
+    cfg: Config, num_nodes: int, lr: Optional[float] = None
+) -> Config:
     """Derive the exact full-graph control config from a VQ config.
 
     node sampler with batch_size == num_nodes -> a single batch containing
     the whole graph (B' empty, all edges in-batch); ce_only drops the
     gradient-recovery term; 'reference' update mode freezes the (unused)
     codebooks so no VQ work is done.
+
+    ``lr`` overrides the control's learning rate.  The control takes ONE
+    optimizer step per epoch (full batch) while the VQ arm takes
+    N/batch_size steps; at minibatch-tuned rates (the bm/reddit shape's
+    1e-3) the control is hopelessly undertrained at any feasible epoch
+    budget, so it gets its own tuned rate — a STRONGER control than
+    budget-matching (the gap is measured against the best the exact
+    gradient can do, not against a crippled run).
     """
     return dataclasses.replace(
         cfg,
@@ -89,6 +99,7 @@ def exact_config(cfg: Config, num_nodes: int) -> Config:
         ce_only=True,
         vq_update_mode="reference",
         warm_up=False,
+        lr=cfg.lr if lr is None else lr,
     )
 
 
@@ -153,24 +164,40 @@ def parity_gap(
     exact_epochs: Optional[int] = None,
     verbose: bool = False,
     vq_diag_path: Optional[str] = None,
+    exact_lr: Optional[float] = None,
+    arms: str = "both",  # "both" | "exact" | "vq"
 ) -> Dict[str, object]:
     """Train exact full-graph and live-VQ mini-batch from the same seed;
-    return both results and the test-accuracy gap (exact - vq)."""
+    return both results and the test-accuracy gap (exact - vq).  ``arms``
+    runs a single arm (the other entry is None, gap NaN) so long controls
+    can be scheduled separately from the VQ run."""
     num_nodes = graph_fn()[0].num_nodes
-    ex_cfg = exact_config(vq_cfg, num_nodes)
-    if verbose:
-        print(f"[parity] exact full-graph ({vq_cfg.conv_type}) ...", flush=True)
-    exact = train_to_acc(
-        graph_fn, ex_cfg, exact_epochs or epochs, eval_every, verbose
-    )
-    if verbose:
-        print(
-            f"[parity] VQ mini-batch ({vq_cfg.conv_type}/"
-            f"{vq_cfg.sampler_type}) ...",
-            flush=True,
+    exact = vq = None
+    if arms in ("both", "exact"):
+        ex_cfg = exact_config(vq_cfg, num_nodes, lr=exact_lr)
+        if verbose:
+            print(
+                f"[parity] exact full-graph ({vq_cfg.conv_type}, "
+                f"lr={ex_cfg.lr}) ...",
+                flush=True,
+            )
+        exact = train_to_acc(
+            graph_fn, ex_cfg, exact_epochs or epochs, eval_every, verbose
         )
-    vq = train_to_acc(
-        graph_fn, vq_cfg, epochs, eval_every, verbose, diag_path=vq_diag_path
+    if arms in ("both", "vq"):
+        if verbose:
+            print(
+                f"[parity] VQ mini-batch ({vq_cfg.conv_type}/"
+                f"{vq_cfg.sampler_type}) ...",
+                flush=True,
+            )
+        vq = train_to_acc(
+            graph_fn, vq_cfg, epochs, eval_every, verbose,
+            diag_path=vq_diag_path,
+        )
+    gap = (
+        exact["test_at_best_valid"] - vq["test_at_best_valid"]
+        if exact is not None and vq is not None
+        else float("nan")
     )
-    gap = exact["test_at_best_valid"] - vq["test_at_best_valid"]
     return {"exact": exact, "vq": vq, "gap": float(gap)}
