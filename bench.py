@@ -87,9 +87,17 @@ def main():
     )
 
     path = os.path.join(cfg.data_root, f"{profile}.npz")
+    # VQ_GNN_BENCH_CACHE: load-or-generate the synthetic graph at this npz
+    # path (bench_sweep runs bench as fresh subprocesses; regenerating the
+    # 169k-node SBM costs ~2-3 min of 2-vCPU time per run).  Distinct from
+    # datasets/{profile}.npz, which is reserved for REAL converted data.
+    cache = os.environ.get("VQ_GNN_BENCH_CACHE")
     if os.path.exists(path):
         g, c = load_npz(path)
         log(f"loaded real {profile}: N={g.num_nodes} E={g.num_edges}")
+    elif cache and os.path.exists(cache):
+        g, c = load_npz(cache)
+        log(f"loaded cached synthetic: N={g.num_nodes} E={g.num_edges}")
     else:
         g, c = synthetic_sbm(
             num_nodes=N_syn,
@@ -99,6 +107,24 @@ def main():
             seed=0,
         )
         log(f"synthetic {profile}-scale: N={g.num_nodes} E={g.num_edges}")
+        if cache:
+            import scipy.sparse as _sp  # noqa: F401  (HostGraph.adj is csr)
+
+            coo = g.adj.tocoo()
+            np.savez(
+                cache,
+                num_nodes=np.int64(g.num_nodes),
+                edge_index=np.stack(
+                    [coo.col.astype(np.int32), coo.row.astype(np.int32)]
+                ),
+                x=g.x,
+                y=g.y,
+                train_mask=g.train_mask,
+                val_mask=g.val_mask,
+                test_mask=g.test_mask,
+                num_classes=np.int64(c),
+            )
+            log(f"cached synthetic graph at {cache}")
     g, c, cluster_indices = prepare(g, cfg, c)
     log(f"prepared: E(normalized)={g.num_edges}")
 

@@ -31,6 +31,8 @@ CONFIGS = [
 
 def run_one(env_extra, timeout=580):
     env = dict(os.environ)
+    # share one generated SBM across the subprocesses (~2-3 min/regeneration)
+    env.setdefault("VQ_GNN_BENCH_CACHE", "/tmp/bench_arxiv_sbm.npz")
     env.update(env_extra)
     t0 = time.time()
     p = subprocess.run(
