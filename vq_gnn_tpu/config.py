@@ -74,6 +74,15 @@ class Config:
     sche: bool = False
     clip: Optional[Sequence[float]] = None
     ce_only: bool = False
+    # exact-control evaluation: build eval batches with the TRAIN-time edge
+    # construction.  The reference's eval path routes every message through
+    # the codeword of its source (v1 mapper with A_BB=None at eval,
+    # dataloader.py:70-73; v2 k-hop eval rows) — correct for a trained
+    # codebook, meaningless for the parity experiment's exact control whose
+    # codebooks are frozen at init.  With full-graph batches the train-time
+    # construction has every edge in-batch-exact, so the control never
+    # touches a codebook.  Only valid when batches cover the whole graph.
+    exact_eval_train_edges: bool = False
     runs: int = 1
     log_steps: int = 1
     seed: int = 0

@@ -67,7 +67,10 @@ class NodeTrainer:
         self.test_loader = BatchLoader(
             graph,
             cfg,
-            train_flag=False,
+            # exact parity control: eval through train-time edge construction
+            # (full-graph batches -> every edge exact, no codebook routing;
+            # see Config.exact_eval_train_edges)
+            train_flag=cfg.exact_eval_train_edges,
             sampler_type=test_sampler,
             cluster_indices=cluster_indices,
             batch_size=cfg.test_batch_size,

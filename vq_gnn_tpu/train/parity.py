@@ -100,6 +100,10 @@ def exact_config(
         vq_update_mode="reference",
         warm_up=False,
         lr=cfg.lr if lr is None else lr,
+        # the reference eval path routes messages through codewords (v1
+        # mapper A_BB=None / v2 k-hop eval rows) — frozen-codebook garbage
+        # for this control; full-graph train-time edges are exact instead
+        exact_eval_train_edges=True,
     )
 
 
