@@ -705,6 +705,29 @@ def _gat_mh_ev(ell_row, ell_col, ell_val, al, ar):
     return a, ev
 
 
+def _branch_repeat(a, D):
+    """Lane-expand a [.., nb] array to [.., nb*D] (value n broadcast over
+    its branch's D lanes).  The per-branch weights must meet the 128-lane
+    feature block WITHOUT reshaping the big gathered arrays: any
+    [.., nb, D]-shaped view pads its 4-lane trailing dim to 128 physically
+    — a 32x relayout blowup (profiled ~5 GB of data-formatting traffic per
+    bm GAT step before this layout)."""
+    return jnp.repeat(a, D, axis=-1)
+
+
+def _branch_blocksum(z, nb, D):
+    """Per-branch lane-block reduce: [.., nb*D] -> [.., nb] summing each
+    branch's D lanes, as an MXU dot with the block-indicator matrix (no
+    narrow-lane reshapes)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (nb * D, nb), 0) // D
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb * D, nb), 1)
+    A = (lanes == cols).astype(jnp.float32)
+    return jax.lax.dot_general(
+        z, A, dimension_numbers=(((z.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _gat_mh_fwd_impl(edges, x_g, al, ar):
     from vq_gnn_tpu.ops.spmm import sorted_segment_sum
 
@@ -713,16 +736,16 @@ def _gat_mh_fwd_impl(edges, x_g, al, ar):
     nb = al.shape[1]
     D = x_g.shape[1] // nb
     _, ev = _gat_mh_ev(edges.ell_row, edges.ell_col, edges.ell_val, al, ar)
-    nbrs = jnp.take(
+    nbrs3 = jnp.take(
         x_g, edges.ell_col.reshape(-1), axis=0, mode="clip"
-    ).reshape(S, K, nb, D)
+    ).reshape(S, K, nb * D)  # leading-dim reshape only — lanes stay 128
     # ev feeds both the aggregate einsum and the rowsum reduce; without the
     # barrier XLA re-materializes its gather+exp chain once per consumer
-    ev, nbrs = jax.lax.optimization_barrier((ev, nbrs))
+    ev, nbrs3 = jax.lax.optimization_barrier((ev, nbrs3))
     part = jnp.einsum(
-        "skn,sknd->snd", ev.astype(x_g.dtype), nbrs,
+        "skl,skl->sl", _branch_repeat(ev, D).astype(x_g.dtype), nbrs3,
         preferred_element_type=jnp.float32,
-    ).reshape(S, nb * D)
+    )  # [S, nb*D]
     agg = sorted_segment_sum(part, edges.ell_row, R, edges.dense_rows)
     rowsum = sorted_segment_sum(
         jnp.sum(ev, axis=1), edges.ell_row, R, edges.dense_rows
@@ -754,30 +777,32 @@ def _gat_mh_vjp_bwd(res, g):
     a_t, ev_t = _gat_mh_ev(
         edges.t_ell_row, edges.t_ell_col, edges.t_ell_val, ar, al
     )
-    g_cols = jnp.take(
+    g3 = jnp.take(
         g_agg.astype(gs), idx_t, axis=0, mode="clip"
-    ).reshape(St, Kt, nb, D)
-    # ev_t and g_cols each feed two consumers (dx einsum + d_ev_t einsum /
+    ).reshape(St, Kt, nb * D)  # lanes stay 128 (see _branch_repeat note)
+    # ev_t and g3 each feed two consumers (dx einsum + d_ev_t reduce /
     # d_a_t); barrier them so the gathers and exp run once
-    ev_t, g_cols = jax.lax.optimization_barrier((ev_t, g_cols))
+    ev_t, g3 = jax.lax.optimization_barrier((ev_t, g3))
+    ev_rep = _branch_repeat(ev_t, D).astype(gs)
     dx_part = jnp.einsum(
-        "skn,sknd->snd", ev_t.astype(gs), g_cols,
-        preferred_element_type=jnp.float32,
-    ).reshape(St, nb * D)
+        "skl,skl->sl", ev_rep, g3, preferred_element_type=jnp.float32
+    )  # [St, nb*D]
     dx = sorted_segment_sum(
         dx_part, edges.t_ell_row, R, edges.dense_rows
     ).astype(x_g.dtype)
 
-    x_rows_t = jnp.take(x_g, edges.t_ell_row, axis=0, mode="clip").reshape(
-        St, nb, D
-    )
+    x_rows128 = jnp.take(
+        x_g, edges.t_ell_row, axis=0, mode="clip"
+    )  # [St, nb*D]
     g_rs_t = jnp.take(
         g_rs.astype(gs), idx_t, axis=0, mode="clip"
     ).reshape(St, Kt, nb)
+    # per-branch D-contraction <g3[s,k,branch n], x_rows[s,branch n]> as a
+    # lane-blocked multiply + block-indicator MXU reduce
     d_ev_t = (
-        jnp.einsum(
-            "sknd,snd->skn", g_cols, x_rows_t,
-            preferred_element_type=jnp.float32,
+        _branch_blocksum(
+            g3.astype(jnp.float32) * x_rows128[:, None, :].astype(jnp.float32),
+            nb, D,
         )
         + g_rs_t
     )
