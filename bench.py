@@ -94,7 +94,7 @@ def main():
     cache = os.environ.get("VQ_GNN_BENCH_CACHE")
     if os.path.exists(path):
         g, c = load_npz(path)
-        log(f"loaded real {profile}: N={g.num_nodes} E={g.num_edges}")
+        log(f"loaded {path}: N={g.num_nodes} E={g.num_edges}")
     elif cache and os.path.exists(cache):
         g, c = load_npz(cache)
         log(f"loaded cached synthetic: N={g.num_nodes} E={g.num_edges}")
