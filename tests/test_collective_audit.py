@@ -58,7 +58,8 @@ def test_ddp_step_collective_budget():
     state_s = jax.tree.map(lambda a: jax.device_put(a, repl), state)
     X_s = jax.device_put(X_dev, repl)
     batch_s = shard_stacked_batch(mesh, jax.tree.map(jnp.asarray, stacked))
-    step = make_ddp_step(ms, cfg)
+    step = make_ddp_step(ms, cfg, mesh=mesh)  # arms the minimal-payload
+    # c_indices update path (u8 assignments, once-per-step index gather)
     txt = compiled_text(
         step, state_s, X_s, batch_s,
         jnp.float32(1.0), jnp.float32(0.01), jnp.float32(1.0),
@@ -94,8 +95,14 @@ def test_ddp_step_collective_budget():
     grad_budget = _tree_bytes(state.params)  # f32 grad psum, one tuple
     # per layer: sums [nb, M, 2D] + counts [nb, M] + feature-stat channels
     ema_budget = ms.num_layers * 4 * (nb * M * 2 * D + nb * M) * 2
-    # per layer: s16 [n*B_pad, nb] assignments + s32 [n*B_pad, 1] indices
-    cidx_budget = ms.num_layers * n_shards * B_pad * (2 * nb + 4)
+    # per layer: u8 [n*B_pad, nb] packed assignments (M <= 256); the s32
+    # indices + bool valid ride ONE constrained gather per step, not one
+    # per layer (round-5 minimal-payload path, nn/vq.py rep_sharding)
+    assign_bytes = nb * (1 if ms.vq.num_M <= 256 else 2)
+    cidx_budget = (
+        ms.num_layers * n_shards * B_pad * assign_bytes
+        + n_shards * B_pad * (4 + 1)
+    )
     misc_budget = 8192  # BN sync, loss/metric scalars, small psum fusions
     budget = grad_budget + ema_budget + cidx_budget + misc_budget
 
@@ -109,9 +116,9 @@ def test_ddp_step_collective_budget():
         ("f32", (nb, M, 2 * D)) in c.shapes for c in cols
     ), "VQ EMA psum not found in compiled HLO"
     assert any(
-        c.op == "all-gather" and ("s16", (n_shards * B_pad, nb)) in c.shapes
+        c.op == "all-gather" and ("u8", (n_shards * B_pad, nb)) in c.shapes
         for c in cols
-    ), "c_indices batch update all-gather not found"
+    ), "packed (u8) c_indices batch update all-gather not found"
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")

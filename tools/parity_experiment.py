@@ -60,6 +60,14 @@ def main():
         help="JSONL path for per-eval VQ codebook-health records on the VQ "
         "arm (usage entropy/floor, assignment churn, codeword drift)",
     )
+    ap.add_argument(
+        "--segment-dir",
+        default=None,
+        help="arm leak segmentation: per-arm checkpoints + cached arm "
+        "results in this dir; the process re-execs itself when host RSS "
+        "crosses VQ_GNN_MAX_RSS_MB (train/segment.py — fences the tunnel "
+        "runtime's per-transfer host retention)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -135,17 +143,30 @@ def main():
         )
 
     t0 = time.time()
-    res = parity_gap(
-        graph_fn,
-        cfg,
-        epochs=args.epochs,
-        eval_every=args.eval_every,
-        exact_epochs=args.exact_epochs,
-        verbose=True,
-        vq_diag_path=args.diag_log,
-        exact_lr=args.exact_lr,
-        arms=args.arms,
-    )
+    try:
+        res = parity_gap(
+            graph_fn,
+            cfg,
+            epochs=args.epochs,
+            eval_every=args.eval_every,
+            exact_epochs=args.exact_epochs,
+            verbose=True,
+            vq_diag_path=args.diag_log,
+            exact_lr=args.exact_lr,
+            arms=args.arms,
+            segment_dir=args.segment_dir,
+        )
+    except Exception as e:
+        from vq_gnn_tpu.train.segment import SegmentRestart, reexec, rss_mb
+
+        if isinstance(e, SegmentRestart):
+            print(
+                f"[segment] rss {rss_mb():.0f}MB at epoch {e.epoch} — "
+                f"re-exec to release tunnel transfer retention",
+                flush=True,
+            )
+            reexec()  # does not return
+        raise
     dt = time.time() - t0
     src = "real ogbn-arxiv" if os.path.exists(real) else f"synthetic SBM N={n}"
 

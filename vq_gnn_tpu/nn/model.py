@@ -388,6 +388,18 @@ def layer_forward(
 # --------------------------------------------------------------------------
 # one layer, B+M (v1 mapper) formulation
 # --------------------------------------------------------------------------
+def _rev_kernel_ok() -> bool:
+    """Fused rev-ELL recovery dispatch: TPU, or interpret mode for CI.
+    VQ_GNN_REV=off pins the XLA grid path (oracle/A-B runs)."""
+    import os
+
+    from vq_gnn_tpu.ops.spmm import pallas_interpret_mode
+
+    if os.environ.get("VQ_GNN_REV", "auto") == "off":
+        return False
+    return pallas_interpret_mode() or jax.default_backend() != "cpu"
+
+
 def _bm_exact_reverse_info(
     vq_state, ms: ModelStatic, batch: PaddedBatch, x_cols, warm_up_rate,
     al=None, ar_cb=None, branch_keep=None,
@@ -404,13 +416,61 @@ def _bm_exact_reverse_info(
     """
     B_pad = batch.B_pad
     M, D = ms.vq.num_M, ms.num_D
-    local_col = batch.bm_rev_row.astype(jnp.int32)
     grad_table = jax.lax.stop_gradient(vq_state.embedding_output[:, :, D:])
     use_attention = al is not None
     if not use_attention:
         nb = x_cols.shape[0]
         al = jnp.zeros((nb, B_pad))
         ar_cb = jnp.zeros((nb, M))
+
+    if batch.rev_slot_row is not None and _rev_kernel_ok():
+        # fused rev-ELL path (ops/pallas_rev.py): no [nb, M*B_pad] grid,
+        # no unsorted scatter — the round-4 bm GAT floor (~130 ms/step of
+        # scatter + grid traffic, BASELINE.md) collapses to a few ms
+        from vq_gnn_tpu.ops.pallas_rev import (
+            rev_fold_mode,
+            rev_recovery_info,
+            rev_tb,
+        )
+        from vq_gnn_tpu.ops.spmm import pallas_interpret_mode
+        from vq_gnn_tpu.sampler.batch import REV_TB, REV_TS
+
+        nb, _, Dg = x_cols.shape
+        Dp = ((Dg + 7) // 8) * 8
+        c_flat = jnp.take(
+            vq_state.c_indices, batch.rev_slot_col.reshape(-1), axis=0,
+            mode="clip",
+        ).astype(jnp.int32)  # [S*K, nb]
+        S, K = batch.rev_slot_col.shape
+        c_slots = c_flat.T.reshape(nb, S, K)
+        xb = jnp.pad(
+            x_cols.astype(jnp.float32), ((0, 0), (0, 0), (0, Dp - Dg))
+        )
+        gbarT = jnp.pad(
+            jnp.transpose(grad_table, (0, 2, 1)).astype(jnp.float32),
+            ((0, 0), (0, Dp - Dg), (0, 0)),
+        )
+        infos = rev_recovery_info(
+            c_slots,
+            batch.rev_slot_val,
+            batch.rev_slot_row,
+            batch.rev_tile_of,
+            batch.rev_blk_of,
+            batch.rev_flags,
+            xb,
+            al.astype(jnp.float32)[:, :, None],
+            ar_cb.astype(jnp.float32),
+            gbarT,
+            REV_TS,
+            rev_tb(B_pad, REV_TB),
+            rev_fold_mode(),
+            pallas_interpret_mode(),
+        )
+        if branch_keep is not None:
+            infos = infos * branch_keep.astype(infos.dtype)
+        return jnp.sum(infos) * warm_up_rate
+
+    local_col = batch.bm_rev_row.astype(jnp.int32)
 
     def one_branch(c_row, gbar, xb, al_b, arcb_b):
         c = jnp.take(c_row, batch.bm_rev_col, mode="clip").astype(jnp.int32)

@@ -238,6 +238,7 @@ def vq_update(
     p: VQParams,
     valid: Optional[jnp.ndarray] = None,
     branch_keep: Optional[jnp.ndarray] = None,  # [nb] bool, dropbranch mask
+    cidx_merge_fn=None,  # DDP override for the table scatter (see below)
 ) -> Tuple[VQState, jnp.ndarray]:
     """Joint feature+gradient codebook update (``vq.py:204-279``) — the body
     of the reference's backward hook.  BN-normalize [X_B || grad] (lazily
@@ -337,7 +338,20 @@ def vq_update(
             idx_w,
             jnp.take(state.c_indices, batch_idx, axis=0, mode="clip").T,
         )
-    c_indices = state.c_indices.at[batch_idx, :].set(idx_w.T, mode="drop")
+    if cidx_merge_fn is not None:
+        # DDP payload minimization: the replicated c_indices table makes
+        # the auto-SPMD partitioner all-gather the scatter operands — s16
+        # assignments AND s32 row indices, per layer (the audit-surfaced
+        # 17.3 MB/step at arxiv scale).  The override routes the update
+        # through an explicit shard_map merge whose collective payload is
+        # pinned to the minimal dtype (u8 when M <= 256) — sharding
+        # constraints alone don't work: the partitioner hoists the gather
+        # above the pack even across an optimization_barrier.
+        c_indices = cidx_merge_fn(state.c_indices, batch_idx, idx_w.T)
+    else:
+        c_indices = state.c_indices.at[batch_idx, :].set(
+            idx_w.T, mode="drop"
+        )
     return (
         state.replace(
             embedding=emb,

@@ -55,7 +55,7 @@ def partition_hosts(adj, num_hosts: int):
     return partition_graph(adj, num_hosts)
 
 
-def make_ddp_step(ms, cfg):
+def make_ddp_step(ms, cfg, mesh: Mesh = None):
     """Data-parallel train step over a stacked batch [n_shards, ...].
 
     Each shard's forward runs block-diagonally (vmap); the loss is the
@@ -156,6 +156,38 @@ def make_ddp_step(ms, cfg):
         if live:
             flat_idx = sbatch.batch_idx.reshape(-1)
             flat_valid = sbatch.valid_B.reshape(-1)
+            merge_fn = None
+            if mesh is not None:
+                # minimal-payload c_indices merge: ONE explicit u8 (M<=256)
+                # all-gather of the packed assignments + one s32 gather of
+                # the (layer-shared) row indices, instead of the per-layer
+                # s16+s32 gathers auto-SPMD inserts around the replicated-
+                # table scatter.  shard_map pins the collective dtype; the
+                # replicated row gather is hoisted out of the layer loop by
+                # CSE (same operand every layer).
+                from jax.experimental.shard_map import shard_map
+
+                small = ms.vq.num_M <= 256
+
+                def _merge_body(tbl, rows, upd):
+                    rg = jax.lax.all_gather(rows, "data", tiled=True)
+                    ug = jax.lax.all_gather(upd, "data", tiled=True)
+                    return tbl.at[rg].set(
+                        ug.astype(jnp.int16), mode="drop"
+                    )
+
+                _merge = shard_map(
+                    _merge_body,
+                    mesh=mesh,
+                    in_specs=(P(), P("data"), P("data", None)),
+                    out_specs=P(),
+                    check_rep=False,
+                )
+
+                def merge_fn(tbl, rows, upd):
+                    upd = upd.astype(jnp.uint8) if small else upd
+                    return _merge(tbl, rows.astype(jnp.int32), upd)
+
             for l in range(ms.num_layers):
                 nb = ms.num_branches[l]
                 xi = layer_inputs[l]  # [n, B_pad, C]
@@ -169,6 +201,7 @@ def make_ddp_step(ms, cfg):
                 new_vq[l], _ = vq_update(
                     new_vq[l], Xb, Gb, flat_idx, ms.vq, valid=flat_valid,
                     branch_keep=None if branch_masks is None else branch_masks[l],
+                    cidx_merge_fn=merge_fn,
                 )
 
         metrics = {

@@ -49,6 +49,16 @@ class PaddedBatch(struct.PyTreeNode):
     bm_rev_row: Optional[jnp.ndarray] = None  # [R_pad] int32 local batch row
     bm_rev_col: Optional[jnp.ndarray] = None  # [R_pad] int32 global neighbor
     bm_rev_val: Optional[jnp.ndarray] = None  # [R_pad] f32 (rv or -A)
+    # rev-ELL layout of the same reverse list (ops/pallas_rev.py): sorted +
+    # (row, col)-coalesced K-wide row slots plus the packed (tile, chunk)
+    # schedule for the fused recovery kernel.  Built alongside the flat
+    # arrays under the ell backend; flat stays for the XLA fallback/oracle.
+    rev_slot_col: Optional[jnp.ndarray] = None  # [S_pad, K] int32 global
+    rev_slot_val: Optional[jnp.ndarray] = None  # [S_pad, K] f32
+    rev_slot_row: Optional[jnp.ndarray] = None  # [S_pad, 1] int32 ascending
+    rev_tile_of: Optional[jnp.ndarray] = None  # [P] int32
+    rev_blk_of: Optional[jnp.ndarray] = None  # [P] int32
+    rev_flags: Optional[jnp.ndarray] = None  # [P] int32 (first|live|fin)
 
     @property
     def B_pad(self) -> int:
@@ -87,6 +97,7 @@ def build_padded_batch(
     t_b_bucket: Optional[dict] = None,
     ell_Kt: int = 0,
     mixed_pads: Optional[tuple] = None,  # (Sh, St2, tSh, tSt2)
+    rev_ell_bucket: Optional[dict] = None,  # monotone {"S":..., "P":...}
 ) -> PaddedBatch:
     """Pad a host-built subgraph batch to static shapes.
 
@@ -268,6 +279,36 @@ def build_padded_batch(
         link_dst=link_dst,
         link_mask=link_mask,
         **_pad_bm_rev(bm_rev, R_pad, num_N),
+        **_build_rev_ell_fields(bm_rev, rev_ell_bucket, B_pad, num_N),
+    )
+
+
+# rev-ELL tunables (ops/pallas_rev.py kernel shape constants)
+REV_K, REV_TS, REV_TB = 8, 128, 128
+
+
+def _build_rev_ell_fields(bm_rev, bucket, B_pad, num_N):
+    if bm_rev is None or bucket is None:
+        return {}
+    from vq_gnn_tpu.ops.pallas_rev import build_rev_ell, pad_rev_ell, rev_tb
+
+    rr, rc, rv = bm_rev
+    tb = rev_tb(B_pad, REV_TB)
+    d = build_rev_ell(rr, rc, rv, B_pad, num_N, K=REV_K, T_s=REV_TS, TB=tb)
+    S = d["slot_row"].shape[0]
+    P = d["tile_of"].shape[0]
+    bucket["S"] = max(bucket.get("S", 0), round_up(S, 8 * REV_TS))
+    bucket["P"] = max(bucket.get("P", 0), round_up(P, 128))
+    d = pad_rev_ell(
+        d, bucket["S"], bucket["P"], B_pad, num_N, T_s=REV_TS, TB=tb
+    )
+    return dict(
+        rev_slot_col=np.asarray(d["slot_col"]),
+        rev_slot_val=np.asarray(d["slot_val"]),
+        rev_slot_row=np.asarray(d["slot_row"]),
+        rev_tile_of=np.asarray(d["tile_of"]),
+        rev_blk_of=np.asarray(d["blk_of"]),
+        rev_flags=np.asarray(d["flags"]),
     )
 
 

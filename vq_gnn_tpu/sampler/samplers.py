@@ -511,7 +511,17 @@ class BatchLoader:
             t_b_bucket=self._tb_bucket if use_tb else None,
             ell_Kt=ell_Kt,
             mixed_pads=mixed_pads,
+            rev_ell_bucket=self._rev_ell_bucket(rev),
         )
+
+    def _rev_ell_bucket(self, rev):
+        # rev-ELL kernel layout only under the ell backend (the COO fallback
+        # keeps the XLA grid path, which its tests pin)
+        if rev is None or self.cfg.spmm_backend != "ell":
+            return None
+        if not hasattr(self, "_revell_bucket"):
+            self._revell_bucket = {}
+        return self._revell_bucket
 
     def _rev_pad(self, rev):
         if rev is None:

@@ -84,6 +84,18 @@ class NodeTrainer:
         )
         self.rng = jax.random.PRNGKey(cfg.seed + 17)
         self.logger = Logger(cfg.runs, cfg)
+        # device-side batch cache for DETERMINISTIC loaders: the tunnel
+        # runtime retains ~100% of every host->device transfer in host RSS
+        # (train/segment.py), so re-transferring identical bytes each epoch
+        # both leaks and pays the 0.5-20 MB/s tunnel again.  The eval
+        # loaders always qualify (shuffle=False); the train loader
+        # qualifies only for the exact full-graph control (one batch = the
+        # whole graph, order-invariant math).  VQ_GNN_EVAL_CACHE=off
+        # restores streaming.
+        self._batch_cache = {}
+        self._cache_train = (
+            cfg.sampler_type == "node" and cfg.batch_size >= graph.num_nodes
+        )
 
         if self.inductive:
             self._split_loaders = {}
@@ -106,13 +118,34 @@ class NodeTrainer:
                     gr,
                 )
 
+    def _iter_cached(self, name: str, loader):
+        """Iterate a loader through the device-side batch cache.  The first
+        pass materializes and (if under the size cap) retains the
+        device-placed batches; later passes skip the host rebuild AND the
+        tunnel transfer."""
+        import os
+
+        cached = self._batch_cache.get(name)
+        if cached is not None:
+            return cached
+        items = list(loader)
+        if os.environ.get("VQ_GNN_EVAL_CACHE", "on") != "off":
+            cap_mb = float(os.environ.get("VQ_GNN_EVAL_CACHE_MB", "6000"))
+            nbytes = 0
+            for windows, _ in items:
+                for leaf in jax.tree.leaves(windows):
+                    nbytes += getattr(leaf, "nbytes", 0)
+            if nbytes / 1e6 <= cap_mb:
+                self._batch_cache[name] = items
+        return items
+
     # ---- layerwise codebook bootstrap (main_node.py v2:17-37) ----
     def run_init_sweep(self, verbose: bool = False):
         for layer_idx in range(1, self.ms.num_layers + 1):
             if verbose:
                 print(f"init sweep layer {layer_idx}")
             step = self.fns.init_step_for(layer_idx)
-            for windows, _ in self.test_loader:
+            for windows, _ in self._iter_cached("test", self.test_loader):
                 batch = windows[0]
                 new_vq, new_tr = step(
                     self.state.vq_states,
@@ -145,7 +178,12 @@ class NodeTrainer:
         lr = self.lr_at(epoch)
         have_train_mask = self.graph.train_mask is not None
 
-        for windows, raw_idx in self.train_loader:
+        train_iter = (
+            self._iter_cached("train", self.train_loader)
+            if self._cache_train
+            else self.train_loader
+        )
+        for windows, raw_idx in train_iter:
             for j, batch in enumerate(windows):
                 if have_train_mask:
                     n_train = int(self.graph.train_mask[raw_idx[j]].sum())
@@ -176,7 +214,7 @@ class NodeTrainer:
     # ---- stochastic batched evaluation (main_node.py v2:125-156) ----
     def predict_all(self) -> np.ndarray:
         outs = []
-        for windows, raw_idx in self.test_loader:
+        for windows, raw_idx in self._iter_cached("test", self.test_loader):
             batch = windows[0]
             out = self.fns.eval_step(self.state, self.X_dev, batch)
             outs.append(np.asarray(out)[: len(raw_idx[0])])
@@ -188,7 +226,7 @@ class NodeTrainer:
             for name in ("train", "val", "test"):
                 loader, X_dev, gr = self._split_loaders[name]
                 outs = []
-                for windows, raw in loader:
+                for windows, raw in self._iter_cached(f"split_{name}", loader):
                     out = self.fns.eval_step(self.state, X_dev, windows[0])
                     outs.append(np.asarray(out)[: len(raw[0])])
                 outs = np.concatenate(outs, axis=0)

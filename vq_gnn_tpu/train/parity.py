@@ -114,43 +114,91 @@ def train_to_acc(
     eval_every: int = 1,
     verbose: bool = False,
     diag_path: Optional[str] = None,
+    segment_path: Optional[str] = None,
+    max_rss_mb: Optional[float] = None,
 ) -> Dict[str, float]:
     """Train one config from scratch; return best-by-valid statistics.
 
     graph_fn must return a *fresh* (HostGraph, num_classes) each call —
     ``prepare`` normalizes/permutes in place, so exact and VQ runs each get
     their own copy of the same underlying graph (same generator seed).
+
+    ``segment_path`` arms long-run segmentation (train/segment.py): the run
+    resumes from an existing segment checkpoint, and when host RSS crosses
+    ``max_rss_mb`` at an epoch boundary it saves a new segment and raises
+    ``SegmentRestart`` for the driving tool to re-exec across the tunnel
+    transfer leak.
     """
+    from vq_gnn_tpu.train.segment import (
+        SegmentRestart,
+        load_segment,
+        max_rss_mb_default,
+        rss_mb,
+        save_segment,
+    )
+
     g, c = graph_fn()
     g, c, ci = prepare(g, cfg, c)
     tr = NodeTrainer(g, cfg, c, cluster_indices=ci)
-    tr.run_init_sweep()
     history = []
+    start_epoch = 1
+    seg = load_segment(segment_path, tr.state) if segment_path else None
+    if seg is not None:
+        state, seg_epoch, history, rng, _ = seg
+        tr.state = state
+        if rng is not None:
+            import jax.numpy as jnp
+
+            tr.rng = jnp.asarray(np.asarray(rng, np.uint32))
+        for h in history:
+            tr.logger.add_result(0, h[2:5])
+        # sampler epoch cursor: each epoch's batch stream derives from
+        # (seed, _epoch) alone, so the restarted run continues mid-stream
+        tr.train_loader._epoch = seg_epoch
+        start_epoch = seg_epoch + 1
+        if verbose:
+            print(f"  [segment] resumed at epoch {start_epoch}", flush=True)
+    else:
+        tr.run_init_sweep()
+    if max_rss_mb is None:
+        max_rss_mb = max_rss_mb_default()
     diag_prev, diag_f = None, None
     if diag_path:
-        diag_f = open(diag_path, "w")
+        diag_f = open(diag_path, "a" if start_epoch > 1 else "w")
     t0 = time.time()
-    for epoch in range(1, epochs + 1):
-        loss, loss_cls = tr.train_epoch(epoch)
-        if epoch % eval_every == 0 or epoch == epochs:
-            res = tr.evaluate()
-            tr.logger.add_result(0, res)
-            history.append((epoch, loss_cls) + res)
-            if diag_f is not None:
-                rec, diag_prev = _vq_health_record(tr, epoch, diag_prev)
-                rec["loss_cls"] = float(loss_cls)
-                rec["train"], rec["valid"], rec["test"] = map(float, res)
-                diag_f.write(json.dumps(rec) + "\n")
-                diag_f.flush()
-            if verbose:
-                print(
-                    f"  epoch {epoch}: loss {loss_cls:.4f} "
-                    f"train {res[0]:.4f} valid {res[1]:.4f} test {res[2]:.4f} "
-                    f"[{time.time() - t0:.1f}s]",
-                    flush=True,
+    try:
+        for epoch in range(start_epoch, epochs + 1):
+            loss, loss_cls = tr.train_epoch(epoch)
+            if epoch % eval_every == 0 or epoch == epochs:
+                res = tr.evaluate()
+                tr.logger.add_result(0, res)
+                history.append((epoch, loss_cls) + res)
+                if diag_f is not None:
+                    rec, diag_prev = _vq_health_record(tr, epoch, diag_prev)
+                    rec["loss_cls"] = float(loss_cls)
+                    rec["train"], rec["valid"], rec["test"] = map(float, res)
+                    diag_f.write(json.dumps(rec) + "\n")
+                    diag_f.flush()
+                if verbose:
+                    print(
+                        f"  epoch {epoch}: loss {loss_cls:.4f} "
+                        f"train {res[0]:.4f} valid {res[1]:.4f} test {res[2]:.4f} "
+                        f"[{time.time() - t0:.1f}s rss {rss_mb():.0f}MB]",
+                        flush=True,
+                    )
+            if (
+                segment_path
+                and epoch < epochs
+                and rss_mb() > max_rss_mb
+            ):
+                save_segment(
+                    segment_path, tr.state, epoch, history,
+                    rng=np.asarray(tr.rng),
                 )
-    if diag_f is not None:
-        diag_f.close()
+                raise SegmentRestart(segment_path, epoch)
+    finally:
+        if diag_f is not None:
+            diag_f.close()
     stats = tr.logger.statistics(0)
     return {
         "best_valid": stats["highest_valid"] / 100.0,
@@ -170,13 +218,43 @@ def parity_gap(
     vq_diag_path: Optional[str] = None,
     exact_lr: Optional[float] = None,
     arms: str = "both",  # "both" | "exact" | "vq"
+    segment_dir: Optional[str] = None,
 ) -> Dict[str, object]:
     """Train exact full-graph and live-VQ mini-batch from the same seed;
     return both results and the test-accuracy gap (exact - vq).  ``arms``
     runs a single arm (the other entry is None, gap NaN) so long controls
-    can be scheduled separately from the VQ run."""
+    can be scheduled separately from the VQ run.
+
+    ``segment_dir`` arms leak segmentation for both arms: each arm gets a
+    segment checkpoint (resume across re-execs) and persists its finished
+    result as JSON so a restarted process skips completed arms."""
+    import os
+
     num_nodes = graph_fn()[0].num_nodes
     exact = vq = None
+
+    def _arm(name, cfg_, n_epochs, diag=None):
+        seg = res_json = None
+        if segment_dir:
+            os.makedirs(segment_dir, exist_ok=True)
+            seg = os.path.join(segment_dir, f"{name}.npz")
+            res_json = os.path.join(segment_dir, f"{name}.result.json")
+            if os.path.exists(res_json):
+                with open(res_json) as f:
+                    r = json.load(f)
+                r["history"] = [tuple(h) for h in r["history"]]
+                if verbose:
+                    print(f"[parity] {name} arm: cached result", flush=True)
+                return r
+        r = train_to_acc(
+            graph_fn, cfg_, n_epochs, eval_every, verbose, diag_path=diag,
+            segment_path=seg,
+        )
+        if res_json:
+            with open(res_json, "w") as f:
+                json.dump(r, f)
+        return r
+
     if arms in ("both", "exact"):
         ex_cfg = exact_config(vq_cfg, num_nodes, lr=exact_lr)
         if verbose:
@@ -185,9 +263,7 @@ def parity_gap(
                 f"lr={ex_cfg.lr}) ...",
                 flush=True,
             )
-        exact = train_to_acc(
-            graph_fn, ex_cfg, exact_epochs or epochs, eval_every, verbose
-        )
+        exact = _arm("exact", ex_cfg, exact_epochs or epochs)
     if arms in ("both", "vq"):
         if verbose:
             print(
@@ -195,10 +271,7 @@ def parity_gap(
                 f"{vq_cfg.sampler_type}) ...",
                 flush=True,
             )
-        vq = train_to_acc(
-            graph_fn, vq_cfg, epochs, eval_every, verbose,
-            diag_path=vq_diag_path,
-        )
+        vq = _arm("vq", vq_cfg, epochs, diag=vq_diag_path)
     gap = (
         exact["test_at_best_valid"] - vq["test_at_best_valid"]
         if exact is not None and vq is not None
