@@ -41,6 +41,9 @@ def main():
     from vq_gnn_tpu.train.step import make_step_fns
 
     formulation = os.environ.get("VQ_GNN_BENCH_FORM", "bbprime")
+    # bm recovery kernel fold: the near-exact 'x2' default measured FASTER
+    # than the bf16 'fast' mode (0.93M vs 0.87M edges/s bm GAT — the bf16
+    # histogram's i1->bf16 converts cost more than the saved MXU pass)
     conv = os.environ.get("VQ_GNN_BENCH_CONV", "GCN")
     # VQ_GNN_BENCH_PROFILE=products: ogbn-products scale (2.45M nodes,
     # ~61M und. edges, 100 feats, 47 classes — reference misc.py:144-224
@@ -92,13 +95,24 @@ def main():
     # 169k-node SBM costs ~2-3 min of 2-vCPU time per run).  Distinct from
     # datasets/{profile}.npz, which is reserved for REAL converted data.
     cache = os.environ.get("VQ_GNN_BENCH_CACHE")
+    g = c = None
     if os.path.exists(path):
         g, c = load_npz(path)
         log(f"loaded {path}: N={g.num_nodes} E={g.num_edges}")
     elif cache and os.path.exists(cache):
         g, c = load_npz(cache)
-        log(f"loaded cached synthetic: N={g.num_nodes} E={g.num_edges}")
-    else:
+        if g.num_nodes != N_syn:
+            # profile-keyed guard: a stale cache from another profile (e.g.
+            # arxiv-scale with VQ_GNN_BENCH_PROFILE=products still set)
+            # would silently benchmark the wrong graph
+            log(
+                f"cache {cache} is N={g.num_nodes}, profile wants N={N_syn}"
+                f" — regenerating (stale cache left untouched)"
+            )
+            g = c = cache = None
+        else:
+            log(f"loaded cached synthetic: N={g.num_nodes} E={g.num_edges}")
+    if g is None:
         g, c = synthetic_sbm(
             num_nodes=N_syn,
             num_classes=cls_syn,

@@ -76,15 +76,18 @@ CONFIGS = {
 EPSILON = {"GCN-cluster": 0.025, "GAT-cluster": 0.025, "SAGE-cont": 0.035}
 
 
-def test_bm_vq_matches_exact_full_graph():
-    """The v1 B+M formulation parity (reddit shape, README.md:72-88).
-
-    The exact full-graph control takes 1 optimizer step/epoch, so it gets
-    its own epoch budget (150 steps; VQ runs 40 epochs x ~3 steps).  Its
-    eval rides the train-time edge construction (exact_eval_train_edges —
-    the reference eval routes every message through codewords, garbage for
-    frozen-codebook controls).  Measured at these seeds: exact 0.612,
-    VQ 0.625 (VQ slightly better); bound allows a 3.5-point regression."""
+def test_bm_vq_matches_exact_minibatch_control():
+    """The v1 B+M formulation parity (reddit shape, README.md:72-88)
+    against the CONVERGENCE-MATCHED control (round-5 verdict weak #1): the
+    exact mini-batch arm rides the same cont-sampler batches, lr, and
+    update count as the VQ arm but drops all codeword routing (in-batch
+    edges only, Config.exact_minibatch) — so the comparison isolates what
+    quantized out-of-batch messages BUY at an equal optimization budget,
+    instead of comparing against a 150-epoch full-batch control that
+    plateaus optimizer-limited (and took most of this test's old runtime).
+    Measured at these seeds: exact_mb 0.575, VQ 0.625 — VQ *beats* the
+    control by 5 points because the control's out-of-batch messages are
+    dropped entirely while VQ routes them through codewords."""
     cfg = Config(
         conv_type="GCN",
         formulation="bm",
@@ -96,11 +99,11 @@ def test_bm_vq_matches_exact_full_graph():
         batch_size=1024,
         **{**BASE, "skip": False},
     )
-    res = parity_gap(graph_fn, cfg, epochs=40, eval_every=5, exact_epochs=150)
-    exact_acc = res["exact"]["test_at_best_valid"]
+    res = parity_gap(graph_fn, cfg, epochs=40, eval_every=5, arms="mb")
+    mb_acc = res["exact_mb"]["test_at_best_valid"]
     vq_acc = res["vq"]["test_at_best_valid"]
-    assert exact_acc > 0.55, exact_acc  # the control itself must train
-    assert vq_acc >= exact_acc - 0.035, (exact_acc, vq_acc)
+    assert mb_acc > 0.50, mb_acc  # the control itself must train
+    assert vq_acc >= mb_acc - 0.035, (mb_acc, vq_acc)
 
 
 @pytest.mark.parametrize("name", list(CONFIGS))

@@ -97,7 +97,7 @@ def _kernel_and_ref(B_pad, num_N, M, nb, Dg, R, seed, pad_extra=0):
             jnp.asarray(c_tab), jnp.asarray(d["slot_col"].reshape(-1)),
             axis=0, mode="clip",
         ).astype(jnp.int32)
-        c_slots = c_flat.T.reshape(nb, d["slot_col"].shape[0], K)
+        c_slots = c_flat  # gather-natural [S*K, nb]
         xbp = jnp.pad(xb, ((0, 0), (0, 0), (0, Dp - Dg)))
         gT = jnp.pad(
             jnp.transpose(jnp.asarray(gbar), (0, 2, 1)),

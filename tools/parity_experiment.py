@@ -51,8 +51,12 @@ def main():
         "minibatch-tuned rates undertrain it — see train/parity.py)",
     )
     ap.add_argument(
-        "--arms", default="both", choices=["both", "exact", "vq"],
-        help="run only one arm (long controls can be scheduled separately)",
+        "--arms", default="both",
+        choices=["both", "all", "mb", "exact", "exact_mb", "vq"],
+        help="arm selection: 'both' = full-batch control + VQ; 'all' adds "
+        "the convergence-matched exact mini-batch control (same batches/"
+        "update count, in-batch edges only); single-arm values schedule "
+        "long controls separately",
     )
     ap.add_argument(
         "--diag-log",
@@ -172,15 +176,17 @@ def main():
 
     print(f"\n== parity @ {src}, {args.conv}, {args.epochs} epochs, {dt:.0f}s ==")
     print(f"{'':16s}{'best valid':>12s}{'test@best':>12s}{'final test':>12s}")
-    for k in ("exact", "vq"):
-        r = res[k]
-        if r is None:
+    for k in ("exact", "exact_mb", "vq"):
+        r = res.get(k)
+        if r is None or k not in res:
             continue
         print(
             f"{k:16s}{r['best_valid']:>12.4f}{r['test_at_best_valid']:>12.4f}"
             f"{r['final_test']:>12.4f}"
         )
     print(f"gap (exact - vq): {res['gap']:+.4f}")
+    if res.get("exact_mb") is not None:
+        print(f"gap (exact_mb - vq): {res['gap_mb']:+.4f}")
     if os.path.exists(real):
         # real-data golden gate (REAL_DATA.md step 3): OGB full-graph GCN on
         # ogbn-arxiv ~71.7%, VQ-GNN parity claim ~1% -> floor 0.70
@@ -201,10 +207,14 @@ def main():
                 "exact_test": None
                 if res["exact"] is None
                 else res["exact"]["test_at_best_valid"],
+                "exact_mb_test": None
+                if res.get("exact_mb") is None
+                else res["exact_mb"]["test_at_best_valid"],
                 "vq_test": None
                 if res["vq"] is None
                 else res["vq"]["test_at_best_valid"],
                 "gap": res["gap"],
+                "gap_mb": res.get("gap_mb"),
                 "seconds": round(dt, 1),
             }
         )

@@ -43,6 +43,7 @@ def main():
         skip=True, matmul_precision="default",
         vq_backend=os.environ.get("VQ_GNN_PROF_VQ_BACKEND", "xla_fast"),
         compute_dtype=os.environ.get("VQ_GNN_PROF_DTYPE", "float32"),
+        ell_K=int(os.environ.get("VQ_GNN_PROF_K", "8")),
     )
     g, c = synthetic_sbm(num_nodes=169_343, num_classes=40, num_features=128,
                          avg_degree=13.7, seed=0)

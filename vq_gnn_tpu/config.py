@@ -83,6 +83,13 @@ class Config:
     # construction has every edge in-batch-exact, so the control never
     # touches a codebook.  Only valid when batches cover the whole graph.
     exact_eval_train_edges: bool = False
+    # convergence-matched mini-batch control (round-5): same sampler, same
+    # batches, same update count as the VQ arm, but messages ride ONLY the
+    # exact in-batch edges (A_BB + self-loops) — no codeword routing, no
+    # recovery term, codebooks untouched.  Isolates the quantization cost
+    # at equal optimization budget (the full-batch control takes 1 step
+    # per epoch and plateaus optimizer-limited; see train/parity.py).
+    exact_minibatch: bool = False
     runs: int = 1
     log_steps: int = 1
     seed: int = 0

@@ -440,9 +440,7 @@ def _bm_exact_reverse_info(
         c_flat = jnp.take(
             vq_state.c_indices, batch.rev_slot_col.reshape(-1), axis=0,
             mode="clip",
-        ).astype(jnp.int32)  # [S*K, nb]
-        S, K = batch.rev_slot_col.shape
-        c_slots = c_flat.T.reshape(nb, S, K)
+        ).astype(jnp.int32)  # [S*K, nb] — the kernel's gather-natural layout
         xb = jnp.pad(
             x_cols.astype(jnp.float32), ((0, 0), (0, 0), (0, Dp - Dg))
         )
@@ -451,7 +449,7 @@ def _bm_exact_reverse_info(
             ((0, 0), (0, Dp - Dg), (0, 0)),
         )
         infos = rev_recovery_info(
-            c_slots,
+            c_flat,
             batch.rev_slot_val,
             batch.rev_slot_row,
             batch.rev_tile_of,

@@ -217,10 +217,13 @@ def _ell_fused_impl(
         # ar window reads reach [r0a, r0a + T + 8) incl. the dustbin tile;
         # the array stays in HBM (ANY) and the kernel DMAs the aligned
         # window — VMEM use is then R-independent (see kernel comment).
-        # Lane dim is 128 (lane 0 live): HBM slices must be 128-lane aligned.
+        # The [R_pad, 128] lane-0-live expansion (vs a [R_pad, 1] column)
+        # is a deliberate 128x HBM zero-fill: Mosaic requires 128-lane-
+        # aligned HBM window slices, and the fill (~R_pad*512B/forward) is
+        # cheaper than the relayout a 1-lane window DMA would force.
         ar_pad = jnp.zeros((R_pad, 128), jnp.float32).at[: ar.shape[0], 0].set(ar)
         in_specs += [
-            pl.BlockSpec(memory_space=pltpu.ANY),  # ar [R_pad, 1], HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # ar [R_pad, 128] lane-0-live, HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # alv [1, C], whole
             pl.BlockSpec((1, 2), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
         ]
@@ -249,7 +252,7 @@ def _ell_fused_impl(
         num_scalar_prefetch=2,  # r0as, prev_eq
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in out_shapes],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in out_shapes],
         scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
@@ -438,7 +441,7 @@ def _gat_bwd_impl_merged(gf, x_full, seg, val, alv, alb, scale, num_rows,
         pl.BlockSpec((T, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T * K, C + 2), lambda i, *_: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),  # x [R_pad, C], HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # x [R_pad, C], HBM
         pl.BlockSpec((T, K), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # alv [1, C]
         pl.BlockSpec((1, 2), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
@@ -462,7 +465,7 @@ def _gat_bwd_impl_merged(gf, x_full, seg, val, alv, alb, scale, num_rows,
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in out_shapes],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in out_shapes],
         scratch_shapes=scratch,
     )
     dx_w, dal_w = pl.pallas_call(
@@ -543,7 +546,7 @@ def _gat_bwd_impl(gl, gh, x_rows, seg, val, alv, alb, scale, num_rows, tile,
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in out_shapes],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in out_shapes],
         scratch_shapes=scratch,
     )
     dx_w, dal_w = pl.pallas_call(

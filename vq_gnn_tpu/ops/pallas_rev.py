@@ -221,9 +221,22 @@ def _fold(row_oh, part, mode):
     )
 
 
+def _pick_bb(nb: int, cap: int = 8) -> int:
+    """Branches folded per grid step: the round-5 profiler showed the
+    per-branch grid (nb x P = 8192 steps at the bm bench shape) was ~85%
+    fixed grid-step overhead (~5.5us/step); blocking 8 branches per step
+    cuts steps 8x at identical VPU/MXU totals."""
+    bb = 1
+    while bb < nb and bb < cap:
+        bb *= 2
+    return bb
+
+
 def _accumulate(tile_of_ref, blk_of_ref, flags_ref, srow_ref, val_ref, c_ref,
-                S_acc, *, TB, T_s, K, M, mode):
-    """Shared fwd/bwd chunk step: zero on first, one-hot fold when live."""
+                S_acc, *, TB, T_s, K, M, BB, mode):
+    """Shared fwd/bwd chunk step: zero on first; when live, build each
+    folded branch's per-slot codeword histogram and one-hot-fold it onto
+    the tile's rows (rowOH built once, shared by all BB branches)."""
     p = pl.program_id(1)
     fl = flags_ref[p]
 
@@ -233,32 +246,40 @@ def _accumulate(tile_of_ref, blk_of_ref, flags_ref, srow_ref, val_ref, c_ref,
 
     @pl.when(fl & 2 != 0)
     def _live():
-        iota_m = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
-        part = jnp.zeros((T_s, M), jnp.float32)
-        for k in range(K):
-            ck = c_ref[0, :, k : k + 1]  # [T_s, 1] i32
-            vk = val_ref[:, k : k + 1]  # [T_s, 1] f32
-            part = part + jnp.where(ck == iota_m, vk, 0.0)
         r0 = tile_of_ref[p] * TB
         rel = srow_ref[:] - r0  # [T_s, 1]
         ok = (rel >= 0) & (rel < TB)
         relc = jnp.clip(rel, 0, TB - 1)
         iota_tb = jax.lax.broadcasted_iota(jnp.int32, (1, TB), 1)
         row_oh = (relc == iota_tb) & ok  # [T_s, TB] bool
-        S_acc[:] += _fold(row_oh, part, mode)
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+        # 'fast' builds the histogram in bf16 too: the K-loop's [T_s, M]
+        # select/accumulate streams are the kernel's VPU/VMEM floor, and
+        # bf16 halves that traffic (val rounding ~1e-3 — the same budget
+        # as the bf16 bench compute dtype)
+        pdt = jnp.bfloat16 if mode == "fast" else jnp.float32
+        for bb in range(BB):
+            part = jnp.zeros((T_s, M), pdt)
+            for k in range(K):
+                ck = c_ref[0, :, bb * K + k : bb * K + k + 1]  # [T_s, 1]
+                vk = val_ref[:, k : k + 1].astype(pdt)  # [T_s, 1]
+                # mask-multiply, not where: Mosaic rejects the bf16 select
+                # over an i1 [T_s, M] mask ("Invalid relayout ... i1")
+                part = part + (ck == iota_m).astype(pdt) * vk
+            S_acc[:, bb * M : (bb + 1) * M] += _fold(row_oh, part, mode)
 
 
-def _surface(S_acc, al_ref, arcb_ref):
-    """relu + the separable attention surface on the finalized tile."""
-    S = jnp.maximum(S_acc[:], 0.0)  # keep-positive (coalesced)
-    a = al_ref[0] + arcb_ref[0]  # [TB, 1] + [1, M]
-    att = jnp.exp(jnp.where(a >= 0, a, 0.2 * a))  # bare-exp leaky, slope 0.2
+def _surface_bb(S_acc, al_ref, arcb_ref, bb, M):
+    """relu + the separable attention surface for folded branch bb."""
+    S = jnp.maximum(S_acc[:, bb * M : (bb + 1) * M], 0.0)  # keep-positive
+    a = al_ref[0][:, bb : bb + 1] + arcb_ref[0, bb : bb + 1, :]  # [TB, M]
+    att = jnp.exp(jnp.where(a >= 0, a, 0.2 * a))  # bare-exp leaky, slope .2
     return S, a, att
 
 
 def _fwd_kernel(tile_of_ref, blk_of_ref, flags_ref, srow_ref, val_ref, c_ref,
-                xb_ref, al_ref, arcb_ref, gbarT_ref, info_ref, S_acc,
-                *, TB, T_s, K, M, mode):
+                xb_ref, al_ref, arcb_ref, gbarT_ref, info_ref, S_out_ref,
+                S_acc, *, TB, T_s, K, M, Dp, BB, mode):
     p = pl.program_id(1)
 
     @pl.when(p == 0)
@@ -266,56 +287,69 @@ def _fwd_kernel(tile_of_ref, blk_of_ref, flags_ref, srow_ref, val_ref, c_ref,
         info_ref[:] = jnp.zeros_like(info_ref)
 
     _accumulate(tile_of_ref, blk_of_ref, flags_ref, srow_ref, val_ref, c_ref,
-                S_acc, TB=TB, T_s=T_s, K=K, M=M, mode=mode)
+                S_acc, TB=TB, T_s=T_s, K=K, M=M, BB=BB, mode=mode)
 
     @pl.when(flags_ref[p] & 4 != 0)
     def _fin():
-        S, _, att = _surface(S_acc, al_ref, arcb_ref)
-        G = jnp.dot(
-            xb_ref[0], gbarT_ref[0], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [TB, Dp] @ [Dp, M]
-        info_ref[:] += jnp.sum(S * att * G)
+        # stash the finalized pre-relu accumulator: the backward becomes a
+        # pure per-tile pass over this array instead of re-running the
+        # whole chunk accumulation (the round-5 profiler put the recompute
+        # at ~37 ms/step at the bm bench shape; the streaming stash write
+        # is ~2 ms and the rewritten backward ~6 ms)
+        S_out_ref[0] = S_acc[:]
+        for bb in range(BB):
+            S, _, att = _surface_bb(S_acc, al_ref, arcb_ref, bb, M)
+            G = jnp.dot(
+                xb_ref[0][:, bb * Dp : (bb + 1) * Dp],
+                gbarT_ref[0][bb * Dp : (bb + 1) * Dp, :],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [TB, Dp] @ [Dp, M]
+            info_ref[0, bb : bb + 1, :] += jnp.sum(S * att * G)
 
 
-def _bwd_kernel(tile_of_ref, blk_of_ref, flags_ref, srow_ref, val_ref, c_ref,
-                xb_ref, al_ref, arcb_ref, gbarT_ref, dxbal_ref, darcb_ref,
-                S_acc, *, TB, T_s, K, M, Dp, mode):
-    p = pl.program_id(1)
+def _bwd_kernel(S_in_ref, xb_ref, al_ref, arcb_ref, gbarT_ref, dxbal_ref,
+                darcb_ref, *, TB, M, Dp, BB):
+    """Per-tile backward over the forward's stashed accumulator: grid
+    (nbg, n_tiles), no chunk loop, no scalar prefetch."""
+    i = pl.program_id(1)
 
-    @pl.when(p == 0)
+    @pl.when(i == 0)
     def _init():
         darcb_ref[:] = jnp.zeros_like(darcb_ref)
 
-    _accumulate(tile_of_ref, blk_of_ref, flags_ref, srow_ref, val_ref, c_ref,
-                S_acc, TB=TB, T_s=T_s, K=K, M=M, mode=mode)
-
-    @pl.when(flags_ref[p] & 4 != 0)
-    def _fin():
-        S, a, att = _surface(S_acc, al_ref, arcb_ref)
+    cols = []
+    for bb in range(BB):
+        S = jnp.maximum(S_in_ref[0][:, bb * M : (bb + 1) * M], 0.0)
+        a = al_ref[0][:, bb : bb + 1] + arcb_ref[0, bb : bb + 1, :]
+        att = jnp.exp(jnp.where(a >= 0, a, 0.2 * a))
+        gT = gbarT_ref[0][bb * Dp : (bb + 1) * Dp, :]
         G = jnp.dot(
-            xb_ref[0], gbarT_ref[0], preferred_element_type=jnp.float32,
+            xb_ref[0][:, bb * Dp : (bb + 1) * Dp], gT,
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         Satt = S * att
-        # d info / d xb = Satt @ gbarT^T  (unit cotangent; caller scales)
+        # d info / d xb = Satt @ gbarT^T (unit cotangent; caller scales)
         dxb = jax.lax.dot_general(
-            Satt, gbarT_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+            Satt, gT, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # [TB, Dp]
         d_a = Satt * jnp.where(a >= 0, 1.0, 0.2) * G  # [TB, M]
-        d_al = jnp.sum(d_a, axis=1, keepdims=True)  # [TB, 1]
-        dxbal_ref[0] = jnp.concatenate([dxb, d_al], axis=1)  # [TB, Dp+1]
-        darcb_ref[:] += jnp.sum(d_a, axis=0, keepdims=True)[None]  # [1,1,M]
+        cols.append(dxb)
+        cols.append(jnp.sum(d_a, axis=1, keepdims=True))  # d_al [TB, 1]
+        darcb_ref[0, bb : bb + 1, :] += jnp.sum(d_a, axis=0, keepdims=True)
+    dxbal_ref[0] = jnp.concatenate(cols, axis=1)  # [TB, BB*(Dp+1)]
 
 
 # --------------------------------------------------------------------------
 # pallas_call plumbing + custom VJP
 # --------------------------------------------------------------------------
-def _specs(nb, T_s, K, TB, Dp, M, out):
-    """in_specs shared by fwd/bwd.  index_map args: (n, p, tile_of, blk_of,
-    flags) — scalar-prefetch refs are appended by PrefetchScalarGridSpec."""
+def _specs(T_s, K, TB, Dp, M, BB, out):
+    """in_specs shared by fwd/bwd over the branch-grouped layouts.
+    index_map args: (n, p, tile_of, blk_of, flags) — scalar-prefetch refs
+    are appended by PrefetchScalarGridSpec."""
     def by_blk(n, p, t, b, f):
         return (b[p], 0)
 
@@ -325,32 +359,74 @@ def _specs(nb, T_s, K, TB, Dp, M, out):
     def by_tile_n(n, p, t, b, f):
         return (n, t[p], 0)
 
-    def by_n(n, p, t, b, f):
-        return (n, 0)
-
     def by_n3(n, p, t, b, f):
         return (n, 0, 0)
 
-    # per-branch 2-D arrays ride as [nb, 1, lanes] with (1, 1, lanes)
-    # blocks: Mosaic requires the block's sublane dim to divide 8 or equal
-    # the array dim, and a (1, lanes) block over [nb, lanes] does neither
     in_specs = [
         pl.BlockSpec((T_s, 1), by_blk, memory_space=pltpu.VMEM),  # slot_row
         pl.BlockSpec((T_s, K), by_blk, memory_space=pltpu.VMEM),  # slot_val
-        pl.BlockSpec((1, T_s, K), by_blk_n, memory_space=pltpu.VMEM),  # c
-        pl.BlockSpec((1, TB, Dp), by_tile_n, memory_space=pltpu.VMEM),  # xb
-        pl.BlockSpec((1, TB, 1), by_tile_n, memory_space=pltpu.VMEM),  # al
-        pl.BlockSpec((1, 1, M), by_n3, memory_space=pltpu.VMEM),  # arcb
-        pl.BlockSpec((1, Dp, M), by_n3, memory_space=pltpu.VMEM),  # gbarT
+        pl.BlockSpec((1, T_s, BB * K), by_blk_n, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TB, BB * Dp), by_tile_n, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TB, BB), by_tile_n, memory_space=pltpu.VMEM),  # al
+        pl.BlockSpec((1, BB, M), by_n3, memory_space=pltpu.VMEM),  # arcb
+        pl.BlockSpec((1, BB * Dp, M), by_n3, memory_space=pltpu.VMEM),
     ]
     if out == "fwd":
-        out_specs = [pl.BlockSpec((1, 1, 128), by_n3, memory_space=pltpu.VMEM)]
+        out_specs = [
+            pl.BlockSpec((1, BB, 128), by_n3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, BB * M), by_tile_n, memory_space=pltpu.VMEM),
+        ]
     else:
         out_specs = [
-            pl.BlockSpec((1, TB, Dp + 1), by_tile_n, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M), by_n3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, TB, BB * (Dp + 1)), by_tile_n, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, BB, M), by_n3, memory_space=pltpu.VMEM),
         ]
     return in_specs, out_specs
+
+
+def _pack_branches(c_flat, K, xb, al, arcb, gbarT):
+    """Group BB branches per grid step: [nb, ...] -> [nbg, ..., BB*lanes]
+    layouts (branch-minor lanes).  Padded branches carry zero gbarT, so
+    every padded contribution and gradient is exactly zero.
+
+    ``c_flat`` is the gather-natural [S*K, nb] layout (take over
+    c_indices rows) — packing it to [nbg, S, BB*K] is then ONE relayout
+    instead of the transpose + re-transpose a [nb, S, K] contract costs
+    (~15 MB of data-formatting per call at the bm bench shape)."""
+    nb = xb.shape[0]
+    S = c_flat.shape[0] // K
+    B_pad, Dp = xb.shape[1], xb.shape[2]
+    M = arcb.shape[1]
+    BB = _pick_bb(nb)
+    nbg = -(-nb // BB)
+    nb_pad = nbg * BB
+
+    def padb(a):
+        return jnp.pad(a, ((0, nb_pad - nb),) + ((0, 0),) * (a.ndim - 1))
+
+    c_g = (
+        jnp.pad(c_flat, ((0, 0), (0, nb_pad - nb)))
+        .reshape(S, K, nbg, BB).transpose(2, 0, 3, 1).reshape(nbg, S, BB * K)
+    )
+    xb_g = (
+        padb(xb).reshape(nbg, BB, B_pad, Dp).transpose(0, 2, 1, 3)
+        .reshape(nbg, B_pad, BB * Dp)
+    )
+    al_g = padb(al)[..., 0].reshape(nbg, BB, B_pad).transpose(0, 2, 1)
+    arcb_g = padb(arcb).reshape(nbg, BB, M)
+    gbarT_g = padb(gbarT).reshape(nbg, BB * Dp, M)
+    return c_g, xb_g, al_g, arcb_g, gbarT_g, BB, nbg, nb_pad
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        # S_acc [TB, BB*M] + per-branch histogram transients exceed the
+        # default 16MB scoped budget at BB=8, M=1024
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
 
 
 @functools.partial(
@@ -358,65 +434,91 @@ def _specs(nb, T_s, K, TB, Dp, M, out):
 )
 def _rev_fwd_impl(c_slots, slot_val, slot_row, tile_of, blk_of, flags,
                   xb, al, arcb, gbarT, *, T_s, TB, mode, interpret):
-    nb, S_pad, K = c_slots.shape
-    M = arcb.shape[1]
-    Dp = xb.shape[2]
-    P = tile_of.shape[0]
-    in_specs, out_specs = _specs(nb, T_s, K, TB, Dp, M, "fwd")
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nb, P),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((TB, M), jnp.float32)],
-    )
-    (info,) = pl.pallas_call(
-        functools.partial(_fwd_kernel, TB=TB, T_s=T_s, K=K, M=M, mode=mode),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((nb, 1, 128), jnp.float32)],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-    )(tile_of, blk_of, flags, slot_row, slot_val, c_slots, xb, al,
-      arcb[:, None, :], gbarT)
-    return info[:, 0, 0]
-
-
-@functools.partial(
-    jax.jit, static_argnames=("T_s", "TB", "mode", "interpret")
-)
-def _rev_bwd_impl(c_slots, slot_val, slot_row, tile_of, blk_of, flags,
-                  xb, al, arcb, gbarT, *, T_s, TB, mode, interpret):
-    nb, S_pad, K = c_slots.shape
+    """-> (info [nb], S_g [nbg, B_pad, BB*M]) — the stashed pre-relu
+    accumulator in the packed branch-group layout, consumed by the
+    backward's per-tile pass."""
+    nb = xb.shape[0]
+    K = slot_val.shape[1]
     M = arcb.shape[1]
     Dp = xb.shape[2]
     B_pad = xb.shape[1]
     P = tile_of.shape[0]
-    in_specs, out_specs = _specs(nb, T_s, K, TB, Dp, M, "bwd")
+    c_g, xb_g, al_g, arcb_g, gbarT_g, BB, nbg, nb_pad = _pack_branches(
+        c_slots, K, xb, al, arcb, gbarT
+    )
+    in_specs, out_specs = _specs(T_s, K, TB, Dp, M, BB, "fwd")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nb, P),
+        grid=(nbg, P),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((TB, M), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TB, BB * M), jnp.float32)],
     )
-    dxbal, darcb = pl.pallas_call(
+    info, S_g = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, TB=TB, T_s=T_s, K=K, M=M, Dp=Dp, mode=mode
+            _fwd_kernel, TB=TB, T_s=T_s, K=K, M=M, Dp=Dp, BB=BB, mode=mode
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nb, B_pad, Dp + 1), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, M), jnp.float32),
+            jax.ShapeDtypeStruct((nbg, BB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nbg, B_pad, BB * M), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(tile_of, blk_of, flags, slot_row, slot_val, c_g, xb_g, al_g, arcb_g,
+      gbarT_g)
+    return info.reshape(nb_pad, 128)[:nb, 0], S_g
+
+
+@functools.partial(jax.jit, static_argnames=("TB", "interpret"))
+def _rev_bwd_impl(S_g, xb, al, arcb, gbarT, *, TB, interpret):
+    """Per-tile backward over the stashed accumulator (no chunk loop)."""
+    nb = xb.shape[0]
+    M = arcb.shape[1]
+    Dp = xb.shape[2]
+    B_pad = xb.shape[1]
+    _, xb_g, al_g, arcb_g, gbarT_g, BB, nbg, nb_pad = _pack_branches(
+        jnp.zeros((1, nb), jnp.int32), 1, xb, al, arcb, gbarT
+    )
+    n_tiles = B_pad // TB
+
+    def by_tile(n, i):
+        return (n, i, 0)
+
+    def by_n3(n, i):
+        return (n, 0, 0)
+
+    dxbal, darcb = pl.pallas_call(
+        functools.partial(_bwd_kernel, TB=TB, M=M, Dp=Dp, BB=BB),
+        grid=(nbg, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TB, BB * M), by_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, BB * Dp), by_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, BB), by_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, M), by_n3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB * Dp, M), by_n3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, TB, BB * (Dp + 1)), by_tile, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, BB, M), by_n3, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nbg, B_pad, BB * (Dp + 1)), jnp.float32),
+            jax.ShapeDtypeStruct((nbg, BB, M), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(tile_of, blk_of, flags, slot_row, slot_val, c_slots, xb, al,
-      arcb[:, None, :], gbarT)
-    return dxbal, darcb[:, 0]
+    )(S_g, xb_g, al_g, arcb_g, gbarT_g)
+    dxbal = (
+        dxbal.reshape(nbg, B_pad, BB, Dp + 1).transpose(0, 2, 1, 3)
+        .reshape(nb_pad, B_pad, Dp + 1)[:nb]
+    )
+    return dxbal, darcb.reshape(nb_pad, M)[:nb]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
@@ -424,8 +526,9 @@ def rev_recovery_info(c_slots, slot_val, slot_row, tile_of, blk_of, flags,
                       xb, al, arcb, gbarT, T_s, TB, mode, interpret):
     """Per-branch recovery info scalars [nb] from the rev-ELL layout.
 
-    c_slots [nb, S_pad, K] i32 — per-cell codeword (c_indices gathered at
-    the slot cols, per branch); slot_val [S_pad, K] f32; slot_row
+    c_slots [S_pad*K, nb] i32 — per-cell codeword, gather-natural layout
+    (c_indices rows taken at the flat slot cols); slot_val [S_pad, K] f32;
+    slot_row
     [S_pad, 1] i32 ascending; tile_of/blk_of/flags [P] i32 (build_rev_ell);
     xb [nb, B_pad, Dp] f32 (features ‖ ones, zero-padded to Dp sublanes);
     al [nb, B_pad, 1], arcb [nb, M] — attention logit halves (zeros for the
@@ -435,29 +538,29 @@ def rev_recovery_info(c_slots, slot_val, slot_row, tile_of, blk_of, flags,
     Differentiable in xb / al / arcb only (vals and the grad table are
     constants per the reference's hook semantics).
     """
-    return _rev_fwd_impl(
+    info, _ = _rev_fwd_impl(
         c_slots, slot_val, slot_row, tile_of, blk_of, flags, xb, al, arcb,
         gbarT, T_s=T_s, TB=TB, mode=mode, interpret=interpret,
     )
+    return info
 
 
 def _rev_fwd(c_slots, slot_val, slot_row, tile_of, blk_of, flags, xb, al,
              arcb, gbarT, T_s, TB, mode, interpret):
-    info = _rev_fwd_impl(
+    info, S_g = _rev_fwd_impl(
         c_slots, slot_val, slot_row, tile_of, blk_of, flags, xb, al, arcb,
         gbarT, T_s=T_s, TB=TB, mode=mode, interpret=interpret,
     )
-    return info, (c_slots, slot_val, slot_row, tile_of, blk_of, flags, xb,
-                  al, arcb, gbarT)
+    return info, (S_g, c_slots, slot_val, slot_row, tile_of, blk_of, flags,
+                  xb, al, arcb, gbarT)
 
 
 def _rev_bwd(T_s, TB, mode, interpret, res, g):
-    (c_slots, slot_val, slot_row, tile_of, blk_of, flags, xb, al, arcb,
+    (S_g, c_slots, slot_val, slot_row, tile_of, blk_of, flags, xb, al, arcb,
      gbarT) = res
     Dp = xb.shape[2]
     dxbal, darcb = _rev_bwd_impl(
-        c_slots, slot_val, slot_row, tile_of, blk_of, flags, xb, al, arcb,
-        gbarT, T_s=T_s, TB=TB, mode=mode, interpret=interpret,
+        S_g, xb, al, arcb, gbarT, TB=TB, interpret=interpret,
     )
     gs = g[:, None, None]  # [nb, 1, 1] per-branch cotangent
     d_xb = dxbal[:, :, :Dp] * gs

@@ -217,7 +217,7 @@ def _segment_sum_impl(partials, scalar_partials, seg, num_rows, tile, interpret)
         num_scalar_prefetch=2,  # r0as, prev_eq
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in out_shapes],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in out_shapes],
         scratch_shapes=scratch,
     )
     outs = pl.pallas_call(

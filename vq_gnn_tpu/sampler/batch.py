@@ -284,7 +284,7 @@ def build_padded_batch(
 
 
 # rev-ELL tunables (ops/pallas_rev.py kernel shape constants)
-REV_K, REV_TS, REV_TB = 8, 128, 128
+REV_K, REV_TS, REV_TB = 8, 256, 256
 
 
 def _build_rev_ell_fields(bm_rev, bucket, B_pad, num_N):
@@ -298,7 +298,7 @@ def _build_rev_ell_fields(bm_rev, bucket, B_pad, num_N):
     S = d["slot_row"].shape[0]
     P = d["tile_of"].shape[0]
     bucket["S"] = max(bucket.get("S", 0), round_up(S, 8 * REV_TS))
-    bucket["P"] = max(bucket.get("P", 0), round_up(P, 128))
+    bucket["P"] = max(bucket.get("P", 0), round_up(P, 64))
     d = pad_rev_ell(
         d, bucket["S"], bucket["P"], B_pad, num_N, T_s=REV_TS, TB=tb
     )

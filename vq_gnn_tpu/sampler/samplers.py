@@ -121,6 +121,7 @@ def bm_subgraph(
     conv_type: str,
     recovery_flag: bool,
     train_flag: bool,
+    exact_minibatch: bool = False,
 ):
     """v1 "B+M" formulation edge sets, per-edge equivalent of the mapper
     (``vq_gnn_v1/utils/dataloader.py:144-192``).
@@ -149,6 +150,38 @@ def bm_subgraph(
 
     in_batch = np.zeros(num_N, dtype=bool)
     in_batch[node_idx] = True
+
+    if exact_minibatch:
+        # convergence-matched control (Config.exact_minibatch): exact A_BB
+        # + self-loops only — no codeword columns, no reverse rows, no
+        # recovery.  Same batches/update count as the VQ arm; isolates the
+        # quantization cost.
+        starts, ends = rowptr[node_idx], rowptr[node_idx + 1]
+        counts = ends - starts
+        gather = np.repeat(
+            starts - np.cumsum(counts) + counts, counts
+        ) + np.arange(counts.sum())
+        rows_g = np.repeat(node_idx, counts)
+        cols_g = col[gather]
+        vals_g = val[gather]
+        sel = in_batch[cols_g]
+        pos = np.full(num_N, -1, dtype=np.int64)
+        pos[node_idx] = np.arange(B)
+        gcn_mult = 2.0 if conv_type == "GCN" else 1.0
+        er_l = [pos[rows_g[sel]]]
+        ec_l = [pos[cols_g[sel]]]
+        ev_l = [vals_g[sel] * gcn_mult]
+        if conv_type != "SAGE":
+            er_l.append(np.arange(B))
+            ec_l.append(np.arange(B))
+            ev_l.append(deg_inv[node_idx].astype(np.float32) * gcn_mult)
+        return (
+            np.zeros(0, np.int64),
+            np.concatenate(er_l),
+            np.concatenate(ec_l),
+            np.concatenate(ev_l).astype(np.float32),
+            None,
+        )
 
     starts, ends = rowptr[node_idx], rowptr[node_idx + 1]
     counts = ends - starts
@@ -436,6 +469,7 @@ class BatchLoader:
                 self.cfg.conv_type,
                 self.cfg.recovery_flag,
                 self.train_flag,
+                exact_minibatch=self.cfg.exact_minibatch,
             )
         else:
             fo_ids, er, ec, ev = k_hop_subgraph(

@@ -94,8 +94,15 @@ def make_link_step(ms: ModelStatic, cfg: Config):
             n = jnp.maximum(jnp.sum(m), 1.0)
             pos_out = predictor_forward(pred_params, src, dst, cfg.dropout, True, r_drop)[:, 0]
             neg_out = predictor_forward(pred_params, src, neg, cfg.dropout, True, r_drop)[:, 0]
-            pos_loss = -jnp.sum(jnp.log(pos_out + 1e-15) * m) / n
-            neg_loss = -jnp.sum(jnp.log(1.0 - neg_out + 1e-15) * m) / n
+            # clamp, not "+1e-15" (reference main_link.py v2:64,69): under
+            # XLA's excess-precision reassociation `1 - out + 1e-15` folds
+            # to `(1+1e-15) - out` == exact 0 at sigmoid saturation ->
+            # log(0) = -inf poisons the run.  max() is the same value in
+            # f32 and cannot be reassociated away.
+            pos_loss = -jnp.sum(jnp.log(jnp.maximum(pos_out, 1e-15)) * m) / n
+            neg_loss = -jnp.sum(
+                jnp.log(jnp.maximum(1.0 - neg_out, 1e-15)) * m
+            ) / n
             loss_pre = pos_loss + neg_loss
             loss = loss_pre if cfg.ce_only else loss_pre + info_b
             return loss, (layer_inputs, new_bn, loss_pre)
@@ -182,13 +189,29 @@ class LinkTrainer:
             k2, cfg.hidden_channels, cfg.hidden_channels, 1, cfg.num_layers
         )
         self.pred_nu = init_rmsprop(self.pred_params)
+        if cfg.exact_eval_train_edges and 0 < cfg.test_batch_size < graph.num_nodes:
+            raise ValueError(
+                "exact_eval_train_edges requires full-graph eval batches "
+                f"(test_batch_size {cfg.test_batch_size} < num_nodes "
+                f"{graph.num_nodes})"
+            )
         self.train_loader = BatchLoader(
             graph, cfg, train_flag=True, seed=cfg.seed, with_link_edges=True
         )
         self.test_loader = BatchLoader(
-            graph, cfg, train_flag=False, sampler_type="node",
+            graph, cfg,
+            # exact parity control: full-graph eval through the train-time
+            # edge construction (see Config.exact_eval_train_edges)
+            train_flag=cfg.exact_eval_train_edges,
+            sampler_type="node",
             batch_size=cfg.test_batch_size, shuffle=False, seed=cfg.seed + 1,
             with_link_edges=True,
+        )
+        self._batch_cache = {}
+        # the exact control's single full-graph train batch is
+        # deterministic — cache it on device (see train/loop.py)
+        self._cache_train = (
+            cfg.sampler_type == "node" and cfg.batch_size >= graph.num_nodes
         )
         self.step_fn, self.score_fn = make_link_step(self.ms, cfg)
         from vq_gnn_tpu.train.step import make_step_fns
@@ -197,10 +220,15 @@ class LinkTrainer:
         self.rng = jax.random.PRNGKey(cfg.seed + 29)
         self.logger = Logger(cfg.runs, cfg)
 
+    def _iter_cached(self, name, loader):
+        from vq_gnn_tpu.train.loop import iter_cached
+
+        return iter_cached(self._batch_cache, name, loader)
+
     def run_init_sweep(self):
         for layer_idx in range(1, self.ms.num_layers + 1):
             step = self.fns.init_step_for(layer_idx)
-            for windows, _ in self.test_loader:
+            for windows, _ in self._iter_cached("test", self.test_loader):
                 new_vq, new_tr = step(
                     self.state.vq_states,
                     self.state.vq_states_tr or [],
@@ -221,7 +249,12 @@ class LinkTrainer:
         )
         lr = cfg.lr * epoch / 200 if (cfg.sche and epoch < 200) else cfg.lr
         losses = []
-        for windows, _ in self.train_loader:
+        train_iter = (
+            self._iter_cached("train", self.train_loader)
+            if self._cache_train
+            else self.train_loader
+        )
+        for windows, _ in train_iter:
             for j, batch in enumerate(windows):
                 do_opt = 0.0 if (len(windows) > 1 and j == 0) else 1.0
                 self.rng, sub = jax.random.split(self.rng)
@@ -236,7 +269,7 @@ class LinkTrainer:
 
     def embeddings(self) -> jnp.ndarray:
         outs = []
-        for windows, raw in self.test_loader:
+        for windows, raw in self._iter_cached("test", self.test_loader):
             out = self.fns.eval_step(self.state, self.X_dev, windows[0])
             outs.append(np.asarray(out)[: len(raw[0])])
         return jnp.asarray(np.concatenate(outs, axis=0))
@@ -304,17 +337,47 @@ class LinkTrainer:
         ckpt_dir: Optional[str] = None,
         ckpt_every: int = 50,
         resume: bool = False,
+        segment_path: Optional[str] = None,
+        eval_every: int = 1,
     ):
+        """``segment_path`` arms leak segmentation (train/segment.py): save
+        + SegmentRestart when host RSS crosses the ceiling; the restarted
+        process resumes mid-stream with logger history intact."""
         cfg = self.cfg
         from vq_gnn_tpu.train.checkpoint import (
             load_step,
             restore_checkpoint,
             save_checkpoint,
         )
+        from vq_gnn_tpu.train.segment import (
+            SegmentRestart,
+            load_segment,
+            max_rss_mb_default,
+            rss_mb,
+            save_segment,
+        )
+        import time as _time
 
         ckpt_path = None
         start_epoch = 1
-        if ckpt_dir:
+        history = []
+        if segment_path:
+            seg = load_segment(segment_path, self._ckpt_tree())
+            if seg is not None:
+                restored, seg_epoch, history, rng, _ = seg
+                self.state = restored["state"]
+                self.pred_params = restored["pred_params"]
+                self.pred_nu = restored["pred_nu"]
+                if rng is not None:
+                    self.rng = jnp.asarray(np.asarray(rng, np.uint32))
+                for h in history:
+                    self.logger.add_result(run, h[2:5])
+                self.train_loader._epoch = seg_epoch
+                start_epoch = seg_epoch + 1
+                if verbose:
+                    print(f"[segment] resumed at epoch {start_epoch}",
+                          flush=True)
+        elif ckpt_dir:
             import os
 
             ckpt_path = os.path.join(ckpt_dir, f"link_run{run}.npz")
@@ -329,18 +392,33 @@ class LinkTrainer:
                     print(f"resumed from {ckpt_path} at epoch {start_epoch}")
         if start_epoch == 1:
             self.run_init_sweep()
+        max_rss = max_rss_mb_default()
+        t0 = _time.time()
         for epoch in range(start_epoch, cfg.epochs + 1):
             loss = self.train_epoch(epoch)
             if ckpt_path and epoch % ckpt_every == 0:
                 save_checkpoint(ckpt_path, self._ckpt_tree(), step=epoch)
-            result = (
-                self.evaluate_mrr() if self.split.neg_per_source else self.evaluate_hits()
-            )
-            self.logger.add_result(run, result)
-            if verbose and epoch % cfg.log_steps == 0:
-                tr, va, te = result
-                print(
-                    f"Run: {run + 1}, Epoch: {epoch}, Loss: {loss:.4f}, "
-                    f"Train: {100 * tr:.2f}%, Valid: {100 * va:.2f}%, Test: {100 * te:.2f}%"
+            if epoch % eval_every == 0 or epoch == cfg.epochs:
+                result = (
+                    self.evaluate_mrr()
+                    if self.split.neg_per_source
+                    else self.evaluate_hits()
                 )
+                self.logger.add_result(run, result)
+                history.append((epoch, loss) + tuple(map(float, result)))
+                if verbose and epoch % cfg.log_steps == 0:
+                    tr, va, te = result
+                    print(
+                        f"Run: {run + 1}, Epoch: {epoch}, Loss: {loss:.4f}, "
+                        f"Train: {100 * tr:.2f}%, Valid: {100 * va:.2f}%, "
+                        f"Test: {100 * te:.2f}% "
+                        f"[{_time.time() - t0:.1f}s rss {rss_mb():.0f}MB]",
+                        flush=True,
+                    )
+            if segment_path and epoch < cfg.epochs and rss_mb() > max_rss:
+                save_segment(
+                    segment_path, self._ckpt_tree(), epoch, history,
+                    rng=np.asarray(self.rng),
+                )
+                raise SegmentRestart(segment_path, epoch)
         return self.logger.statistics(run)

@@ -29,6 +29,29 @@ def device_features(x: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.concatenate([x, np.zeros((1, x.shape[1]), x.dtype)]))
 
 
+def iter_cached(cache: dict, name: str, loader):
+    """Iterate a DETERMINISTIC loader through a device-side batch cache.
+    The first pass materializes and (if under the size cap) retains the
+    device-placed batches; later passes skip the host rebuild AND the
+    tunnel transfer (which leaks ~100% of every transferred byte into host
+    RSS — train/segment.py).  VQ_GNN_EVAL_CACHE=off restores streaming."""
+    import os
+
+    cached = cache.get(name)
+    if cached is not None:
+        return cached
+    items = list(loader)
+    if os.environ.get("VQ_GNN_EVAL_CACHE", "on") != "off":
+        cap_mb = float(os.environ.get("VQ_GNN_EVAL_CACHE_MB", "6000"))
+        nbytes = 0
+        for windows, _ in items:
+            for leaf in jax.tree.leaves(windows):
+                nbytes += getattr(leaf, "nbytes", 0)
+        if nbytes / 1e6 <= cap_mb:
+            cache[name] = items
+    return items
+
+
 class NodeTrainer:
     def __init__(
         self,
@@ -60,6 +83,15 @@ class NodeTrainer:
             use_ogb_acc if use_ogb_acc is not None else not self.multilabel
         )
 
+        if cfg.exact_eval_train_edges and 0 < cfg.test_batch_size < graph.num_nodes:
+            # precondition (Config docstring): only valid when eval batches
+            # cover the whole graph — partial batches would silently route
+            # out-of-batch messages through frozen codebooks
+            raise ValueError(
+                "exact_eval_train_edges requires full-graph eval batches "
+                f"(test_batch_size {cfg.test_batch_size} < num_nodes "
+                f"{graph.num_nodes})"
+            )
         self.train_loader = BatchLoader(
             graph, cfg, train_flag=True, cluster_indices=cluster_indices, seed=cfg.seed
         )
@@ -119,25 +151,7 @@ class NodeTrainer:
                 )
 
     def _iter_cached(self, name: str, loader):
-        """Iterate a loader through the device-side batch cache.  The first
-        pass materializes and (if under the size cap) retains the
-        device-placed batches; later passes skip the host rebuild AND the
-        tunnel transfer."""
-        import os
-
-        cached = self._batch_cache.get(name)
-        if cached is not None:
-            return cached
-        items = list(loader)
-        if os.environ.get("VQ_GNN_EVAL_CACHE", "on") != "off":
-            cap_mb = float(os.environ.get("VQ_GNN_EVAL_CACHE_MB", "6000"))
-            nbytes = 0
-            for windows, _ in items:
-                for leaf in jax.tree.leaves(windows):
-                    nbytes += getattr(leaf, "nbytes", 0)
-            if nbytes / 1e6 <= cap_mb:
-                self._batch_cache[name] = items
-        return items
+        return iter_cached(self._batch_cache, name, loader)
 
     # ---- layerwise codebook bootstrap (main_node.py v2:17-37) ----
     def run_init_sweep(self, verbose: bool = False):

@@ -107,6 +107,24 @@ def exact_config(
     )
 
 
+def exact_mb_config(cfg: Config, num_nodes: int) -> Config:
+    """Convergence-matched mini-batch control: the VQ arm's own sampler,
+    batches, lr, and update count, but messages ride only the exact
+    in-batch edges (Config.exact_minibatch) — no codeword routing, no
+    recovery term.  Unlike the full-batch control (1 tuned step/epoch,
+    optimizer-limited plateau), this isolates the quantization cost at an
+    equal optimization budget; eval stays exact full-graph."""
+    return dataclasses.replace(
+        cfg,
+        exact_minibatch=True,
+        ce_only=True,
+        vq_update_mode="reference",
+        warm_up=False,
+        test_batch_size=num_nodes,
+        exact_eval_train_edges=True,
+    )
+
+
 def train_to_acc(
     graph_fn: Callable[[], Tuple[HostGraph, int]],
     cfg: Config,
@@ -217,7 +235,7 @@ def parity_gap(
     verbose: bool = False,
     vq_diag_path: Optional[str] = None,
     exact_lr: Optional[float] = None,
-    arms: str = "both",  # "both" | "exact" | "vq"
+    arms: str = "both",  # both=exact+vq | all=3 arms | mb=exact_mb+vq | single-arm values
     segment_dir: Optional[str] = None,
 ) -> Dict[str, object]:
     """Train exact full-graph and live-VQ mini-batch from the same seed;
@@ -231,7 +249,7 @@ def parity_gap(
     import os
 
     num_nodes = graph_fn()[0].num_nodes
-    exact = vq = None
+    exact = exact_mb = vq = None
 
     def _arm(name, cfg_, n_epochs, diag=None):
         seg = res_json = None
@@ -255,7 +273,7 @@ def parity_gap(
                 json.dump(r, f)
         return r
 
-    if arms in ("both", "exact"):
+    if arms in ("both", "all", "exact"):
         ex_cfg = exact_config(vq_cfg, num_nodes, lr=exact_lr)
         if verbose:
             print(
@@ -264,7 +282,16 @@ def parity_gap(
                 flush=True,
             )
         exact = _arm("exact", ex_cfg, exact_epochs or epochs)
-    if arms in ("both", "vq"):
+    if arms in ("all", "mb", "exact_mb"):
+        mb_cfg = exact_mb_config(vq_cfg, num_nodes)
+        if verbose:
+            print(
+                f"[parity] exact mini-batch control ({vq_cfg.conv_type}/"
+                f"{vq_cfg.sampler_type}, in-batch edges only) ...",
+                flush=True,
+            )
+        exact_mb = _arm("exact_mb", mb_cfg, epochs)
+    if arms in ("both", "all", "mb", "vq"):
         if verbose:
             print(
                 f"[parity] VQ mini-batch ({vq_cfg.conv_type}/"
@@ -277,4 +304,15 @@ def parity_gap(
         if exact is not None and vq is not None
         else float("nan")
     )
-    return {"exact": exact, "vq": vq, "gap": float(gap)}
+    gap_mb = (
+        exact_mb["test_at_best_valid"] - vq["test_at_best_valid"]
+        if exact_mb is not None and vq is not None
+        else float("nan")
+    )
+    return {
+        "exact": exact,
+        "exact_mb": exact_mb,
+        "vq": vq,
+        "gap": float(gap),
+        "gap_mb": float(gap_mb),
+    }
