@@ -123,6 +123,10 @@ def main():
             skip=False,
             matmul_precision="default",
             vq_backend="auto",
+            # the bm shape averages ~1.5 edges/row over B+B' — K=8 slot-ELL
+            # is ~83% padding there; K=2 measured 0.93M vs 0.54M edges/s on
+            # the bm GAT bench (perf-only knob, grads oracle-tested)
+            ell_K=2 if args.conv == "GAT" else 8,
         )
     else:
         # the reference arxiv flagship config (README.md:19-22), live VQ

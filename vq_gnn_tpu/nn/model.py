@@ -72,6 +72,10 @@ class ModelStatic:
     compute_dtype: str = "float32"
     # v1 parallel low-rank global-attention branch (v1/models.py:342-362)
     transformer_flag: bool = False
+    # ce_only runs never consume info_backward — skipping the exact-reverse
+    # recovery keeps the full-graph exact-control arm off the rev kernel's
+    # HBM stash (22.5 GB at N=169k; the term is semantically inert there)
+    ce_only: bool = False
 
     @property
     def vq_tr(self) -> VQParams:
@@ -140,6 +144,7 @@ def model_static(cfg: Config, in_channels: int, out_channels: int) -> ModelStati
         transformer_flag=cfg.transformer_flag,
         compute_dtype=cfg.compute_dtype,
         dropbranch=cfg.dropbranch,
+        ce_only=cfg.ce_only,
     )
 
 
@@ -416,6 +421,8 @@ def _bm_exact_reverse_info(
     """
     B_pad = batch.B_pad
     M, D = ms.vq.num_M, ms.num_D
+    if ms.ce_only:
+        return jnp.float32(0.0)
     grad_table = jax.lax.stop_gradient(vq_state.embedding_output[:, :, D:])
     use_attention = al is not None
     if not use_attention:
