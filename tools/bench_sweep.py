@@ -25,7 +25,12 @@ CONFIGS = [
     ("SAGE bbprime cluster f32", {"VQ_GNN_BENCH_CONV": "SAGE"}),
     ("GAT bbprime cluster bf16(default)", {"VQ_GNN_BENCH_CONV": "GAT"}),
     ("GCN bm cont f32", {"VQ_GNN_BENCH_FORM": "bm", "VQ_GNN_BENCH_CONV": "GCN"}),
-    ("GAT bm cont f32", {"VQ_GNN_BENCH_FORM": "bm", "VQ_GNN_BENCH_CONV": "GAT"}),
+    # bm GAT default layout is K=2 slot-ELL: the bm shape averages ~1.5
+    # edges/row over B+B', so K=8 is ~83% padding (measured r5: 0.93M at
+    # K=2 vs 0.54M at K=8 post-rev-kernel) — matches tools/parity_experiment
+    ("GAT bm cont f32 (K=2)", {"VQ_GNN_BENCH_FORM": "bm",
+                               "VQ_GNN_BENCH_CONV": "GAT",
+                               "VQ_GNN_BENCH_K": "2"}),
 ]
 
 

@@ -165,8 +165,6 @@ def make_ddp_step(ms, cfg, mesh: Mesh = None):
                 # table scatter.  shard_map pins the collective dtype; the
                 # replicated row gather is hoisted out of the layer loop by
                 # CSE (same operand every layer).
-                from jax.experimental.shard_map import shard_map
-
                 small = ms.vq.num_M <= 256
 
                 def _merge_body(tbl, rows, upd):
@@ -176,12 +174,12 @@ def make_ddp_step(ms, cfg, mesh: Mesh = None):
                         ug.astype(jnp.int16), mode="drop"
                     )
 
-                _merge = shard_map(
+                _merge = jax.shard_map(
                     _merge_body,
                     mesh=mesh,
                     in_specs=(P(), P("data"), P("data", None)),
                     out_specs=P(),
-                    check_rep=False,
+                    check_vma=False,
                 )
 
                 def merge_fn(tbl, rows, upd):
