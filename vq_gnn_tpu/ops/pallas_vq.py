@@ -304,7 +304,7 @@ def _lookup_kernel(c_ref, emb_ref, out_ref, *, fast):
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "fast"))
 def lookup_branches(
-    c, emb_out, tile_n: int = 2048, interpret: bool = False, fast: bool = False
+    c, emb_out, tile_n: int = 0, interpret: bool = False, fast: bool = False
 ):
     """All-branch codebook row lookup: c [nb, n] i32, emb_out [nb, M, K] ->
     table [n, nb, K] f32 (``vq.lookup``'s einsum, ``vq.py v2:168-173``).
@@ -317,6 +317,12 @@ def lookup_branches(
     is bit-identical to a row gather."""
     nb, n = c.shape
     M, K = emb_out.shape[1], emb_out.shape[2]
+    if tile_n <= 0:
+        # default tile scales inversely with M so the per-branch [M, TN]
+        # one-hot stays ~2 MB of VMEM at any codebook size (M=256 -> 2048,
+        # M=1024 -> 512, M=4096 -> 128 — the ppi shape's M=4096 x TN=2048
+        # one-hot was 32 MB and OOMed the kernel)
+        tile_n = max(128, (2048 * 256 // max(M, 1)) // 128 * 128)
     assert tile_n % 128 == 0
     n_pad = ((n + tile_n - 1) // tile_n) * tile_n
     if n_pad != n:
