@@ -179,6 +179,87 @@ def synthetic_sbm(
     return HostGraph(adj=adj, x=x, y=y, **masks), num_classes
 
 
+def synthetic_dot_product(
+    num_nodes: int = 2000,
+    num_features: int = 64,
+    avg_degree: float = 10.0,
+    latent_dim: int = 16,
+    num_blocks: int = 16,
+    feature_noise: float = 0.5,
+    candidates: int = 400,
+    same_block_frac: float = 0.8,
+    seed: int = 0,
+) -> Tuple[HostGraph, int]:
+    """Latent dot-product graph: edges are PREDICTABLE from node features.
+
+    The SBM stand-in is wrong for link prediction: within a block every
+    pair is exchangeable, so no model can rank the true positives above
+    equally-scored within-block negatives and Hits@K is structurally ~0
+    for every arm (measured: exact control 0.02% after 120 epochs at
+    collab scale).  Here each node gets a latent position on the sphere
+    (mixture of ``num_blocks`` community centers + spread), and edges
+    connect each node to its highest-dot-product latent neighbors among a
+    block-biased candidate pool — so a link predictor that recovers the
+    latent geometry from the features (x = z W + noise) separates
+    positives from random negatives, while within-block candidate
+    negatives keep the task from saturating.  This is the standard
+    random-dot-product-graph (RDPG) model collab-style link prediction
+    assumes.  Labels = block ids (unused by the link task).
+    """
+    rng = np.random.RandomState(seed)
+    blocks = rng.randint(0, num_blocks, num_nodes)
+    mu = rng.randn(num_blocks, latent_dim).astype(np.float32)
+    mu /= np.linalg.norm(mu, axis=1, keepdims=True)
+    z = mu[blocks] + 0.6 * rng.randn(num_nodes, latent_dim).astype(np.float32)
+    z /= np.linalg.norm(z, axis=1, keepdims=True)
+
+    # block-biased candidate pool per node; connect top-k by <z_i, z_j>
+    k = max(1, int(round(avg_degree / 2)))
+    by_block = [np.where(blocks == b)[0] for b in range(num_blocks)]
+    n_same = int(candidates * same_block_frac)
+    rows, cols = [], []
+    step = 8192
+    for lo in range(0, num_nodes, step):
+        idx = np.arange(lo, min(lo + step, num_nodes))
+        cand = np.empty((len(idx), candidates), np.int64)
+        for j, i in enumerate(idx):
+            pool = by_block[blocks[i]]
+            cand[j, :n_same] = pool[rng.randint(0, len(pool), n_same)]
+        cand[:, n_same:] = rng.randint(
+            0, num_nodes, (len(idx), candidates - n_same)
+        )
+        sims = np.einsum("nd,ncd->nc", z[idx], z[cand], optimize=True)
+        sims[cand == idx[:, None]] = -np.inf  # no self loops
+        top = np.argpartition(-sims, k, axis=1)[:, :k]
+        rows.append(np.repeat(idx, k))
+        cols.append(np.take_along_axis(cand, top, axis=1).reshape(-1))
+    src = np.concatenate(rows)
+    dst = np.concatenate(cols)
+    adj = sp.csr_matrix(
+        (np.ones(len(src), np.float32), (dst, src)),
+        shape=(num_nodes, num_nodes),
+    )
+    adj = adj.maximum(adj.T).tocsr()
+    adj.data = np.ones_like(adj.data)
+
+    W = rng.randn(latent_dim, num_features).astype(np.float32)
+    x = z @ W + feature_noise * rng.randn(num_nodes, num_features).astype(
+        np.float32
+    )
+
+    perm = rng.permutation(num_nodes)
+    masks = {}
+    for name, sl in [
+        ("train_mask", perm[: int(0.6 * num_nodes)]),
+        ("val_mask", perm[int(0.6 * num_nodes) : int(0.8 * num_nodes)]),
+        ("test_mask", perm[int(0.8 * num_nodes) :]),
+    ]:
+        m = np.zeros(num_nodes, bool)
+        m[sl] = True
+        masks[name] = m
+    return HostGraph(adj=adj, x=x, y=blocks.astype(np.int32), **masks), num_blocks
+
+
 def prepare(
     graph: HostGraph, cfg: Config, num_classes: int, symmetrize_adj: bool = True
 ) -> Tuple[HostGraph, int, Optional[list]]:
