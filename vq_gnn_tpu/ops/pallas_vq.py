@@ -274,26 +274,28 @@ def fused_assign_branches(
 
 
 def _lookup_kernel(c_ref, emb_ref, out_ref, *, fast):
-    # c_ref [nb, 1, TN] i32; emb_ref [nb, M, K]; out_ref [nb, K, TN]
-    nb, M, K = emb_ref.shape
+    # c_ref [nb, 1, TN] i32; emb_ref [nb, K, M] (M on lanes: K is tiny, so
+    # a [.., M, K] layout lane-pads K 8->128 — 16x VMEM, 128 MB at the ppi
+    # shape nb=64/M=4096); out_ref [nb, K, TN]
+    nb, K, M = emb_ref.shape
     TN = c_ref.shape[2]
     acc = jnp.bfloat16 if fast else jnp.float32
     row = jax.lax.broadcasted_iota(jnp.int32, (M, TN), 0)
 
     def body(b, _):
         onehot = (c_ref[b] == row).astype(acc)  # [M, TN]; stays in VMEM
-        emb = emb_ref[b]  # [M, K]
+        emb = emb_ref[b]  # [K, M]
         if fast:
             out_ref[b] = jax.lax.dot_general(
                 emb.astype(jnp.bfloat16), onehot,
-                dimension_numbers=(((0,), (0,)), ((), ())),
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT,
             )  # [K, TN]
         else:
             out_ref[b] = jax.lax.dot_general(
                 emb, onehot,
-                dimension_numbers=(((0,), (0,)), ((), ())),
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
@@ -335,7 +337,7 @@ def lookup_branches(
         grid=grid,
         in_specs=[
             pl.BlockSpec((nb, 1, tile_n), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, M, K), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, K, M), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (nb, K, tile_n), lambda i: (0, 0, i), memory_space=pltpu.VMEM
@@ -343,5 +345,5 @@ def lookup_branches(
         out_shape=jax.ShapeDtypeStruct((nb, K, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(c3, emb_out)
+    )(c3, jnp.transpose(emb_out, (0, 2, 1)))
     return jnp.transpose(out[:, :, :n], (2, 0, 1))  # [n, nb, K]
