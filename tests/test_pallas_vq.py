@@ -155,3 +155,19 @@ def test_lookup_branches_matches_gather(fast):
     )  # [n, nb, K]
     tol = 1e-2 if fast else 0.0
     np.testing.assert_allclose(np.asarray(table), ref, atol=tol, rtol=tol)
+
+
+def test_lookup_branches_large_M_default_tile():
+    """ppi-shape regression (round 5): M=4096/nb=64 must pick a small
+    default tile (the fixed 2048 tile's [M, TN] one-hot was 32 MB of VMEM)
+    and the codebook block must ride the padding-free [nb, K, M] layout
+    (lane-padding K=8 to 128 cost 16x = 128 MB at this shape on TPU)."""
+    from vq_gnn_tpu.ops.pallas_vq import lookup_branches
+
+    nb, n, M, K = 64, 500, 4096, 8
+    rng = np.random.default_rng(11)
+    c = jnp.asarray(rng.integers(0, M, size=(nb, n)), jnp.int32)
+    emb = jnp.asarray(rng.normal(size=(nb, M, K)), jnp.float32)
+    table = lookup_branches(c, emb, interpret=True)  # default (adaptive) tile
+    ref = np.stack([emb[b][np.asarray(c[b])] for b in range(nb)], axis=1)
+    np.testing.assert_allclose(np.asarray(table), ref, atol=0.0, rtol=0.0)

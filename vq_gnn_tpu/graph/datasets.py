@@ -230,6 +230,14 @@ def synthetic_dot_product(
         )
         sims = np.einsum("nd,ncd->nc", z[idx], z[cand], optimize=True)
         sims[cand == idx[:, None]] = -np.inf  # no self loops
+        # mask duplicate candidates (keep first occurrence) so top-k picks
+        # k DISTINCT neighbors — duplicates collapse in the csr build and
+        # silently halve the realized degree at small block pools
+        order = np.argsort(cand, axis=1)
+        sc = np.take_along_axis(cand, order, 1)
+        dupm = np.zeros_like(sims, dtype=bool)
+        np.put_along_axis(dupm, order[:, 1:], sc[:, 1:] == sc[:, :-1], 1)
+        sims[dupm] = -np.inf
         top = np.argpartition(-sims, k, axis=1)[:, :k]
         rows.append(np.repeat(idx, k))
         cols.append(np.take_along_axis(cand, top, axis=1).reshape(-1))
