@@ -46,6 +46,7 @@ def build_graphs(seed=7, scale=1.0):
         g, _ = synthetic_sbm(
             num_nodes=max(n, 64), num_classes=CLASSES, num_features=FEATS,
             avg_degree=DEG, multilabel=True, seed=seed + 101 * i,
+            centroid_seed=seed,  # shared feature->label map across splits
         )
         g.train_mask = np.ones(g.num_nodes, dtype=bool)
         g.val_mask = g.test_mask = None

@@ -116,6 +116,7 @@ def synthetic_sbm(
     multilabel: bool = False,
     seed: int = 0,
     informative_dims: Optional[int] = None,
+    centroid_seed: Optional[int] = None,
 ) -> Tuple[HostGraph, int]:
     """Degree-skewed stochastic block model with class-informative features.
 
@@ -132,8 +133,13 @@ def synthetic_sbm(
     """
     rng = np.random.RandomState(seed)
     labels = rng.randint(0, num_classes, num_nodes)
-    # class centroids + noise
-    centroids = rng.randn(num_classes, num_features).astype(np.float32) * 2.0
+    # class centroids + noise.  ``centroid_seed`` pins the feature->label
+    # map independently of the graph seed: inductive stand-ins draw each
+    # split's GRAPH from a different seed but must share centroids, or
+    # cross-graph generalization is impossible by construction (round 5:
+    # per-split centroids put every arm at ~0 micro-F1)
+    crng = rng if centroid_seed is None else np.random.RandomState(centroid_seed)
+    centroids = crng.randn(num_classes, num_features).astype(np.float32) * 2.0
     if informative_dims is not None and informative_dims < num_features:
         centroids[:, informative_dims:] = 0.0
     x = centroids[labels] + feature_noise * rng.randn(num_nodes, num_features).astype(
