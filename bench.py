@@ -95,8 +95,50 @@ def main():
     # 169k-node SBM costs ~2-3 min of 2-vCPU time per run).  Distinct from
     # datasets/{profile}.npz, which is reserved for REAL converted data.
     cache = os.environ.get("VQ_GNN_BENCH_CACHE")
+    # prepared-graph cache (products' normalize+partition is ~10 min of
+    # 2-vCPU host time; round-4 verdict weak #4): keyed by everything
+    # prepare() depends on, stores the normalized csr + the partition ptr
+    prep_cache = None
+    if cache:
+        key = (
+            f"{profile}.{cfg.formulation}.{cfg.conv_type}.p{cfg.num_parts}"
+            f".D{cfg.num_D}.s{int(cfg.split)}"
+        )
+        prep_cache = f"{cache}.prepared.{key}.npz"
     g = c = None
-    if os.path.exists(path):
+    prepared = False
+    if prep_cache and os.path.exists(prep_cache):
+        import scipy.sparse as sp
+
+        from vq_gnn_tpu.graph.partition import cluster_indices_from_ptr
+        from vq_gnn_tpu.graph.store import HostGraph
+
+        z = np.load(prep_cache, allow_pickle=False)
+        if int(z["num_nodes"]) == N_syn:
+            adj = sp.csr_matrix(
+                (z["adj_data"], z["adj_indices"], z["adj_indptr"]),
+                shape=(int(z["num_nodes"]), int(z["num_nodes"])),
+            )
+            opt = lambda k: z[k] if k in z.files else None
+            g = HostGraph(
+                adj=adj, x=z["x"], y=opt("y"),
+                train_mask=opt("train_mask"), val_mask=opt("val_mask"),
+                test_mask=opt("test_mask"), deg=opt("deg"),
+                deg_inv=opt("deg_inv"),
+            )
+            c = int(z["num_classes"])
+            cluster_indices = (
+                cluster_indices_from_ptr(z["part_ptr"])
+                if "part_ptr" in z.files else None
+            )
+            prepared = True
+            log(f"loaded prepared cache {prep_cache}: N={g.num_nodes} "
+                f"E={g.num_edges}")
+        else:
+            log(f"prepared cache {prep_cache} is stale (N mismatch) — ignoring")
+    if prepared:
+        pass  # prepared-cache hit skips generate + prepare below
+    elif os.path.exists(path):
         g, c = load_npz(path)
         log(f"loaded {path}: N={g.num_nodes} E={g.num_edges}")
     elif cache and os.path.exists(cache):
@@ -139,8 +181,29 @@ def main():
                 num_classes=np.int64(c),
             )
             log(f"cached synthetic graph at {cache}")
-    g, c, cluster_indices = prepare(g, cfg, c)
-    log(f"prepared: E(normalized)={g.num_edges}")
+    if not prepared:
+        g, c, cluster_indices = prepare(g, cfg, c)
+        log(f"prepared: E(normalized)={g.num_edges}")
+        if prep_cache:
+            arrs = {
+                "num_nodes": np.int64(g.num_nodes),
+                "adj_data": g.adj.data, "adj_indices": g.adj.indices,
+                "adj_indptr": g.adj.indptr, "x": g.x,
+                "num_classes": np.int64(c),
+            }
+            for k in ("y", "train_mask", "val_mask", "test_mask", "deg",
+                      "deg_inv"):
+                v = getattr(g, k)
+                if v is not None:
+                    arrs[k] = v
+            if cluster_indices is not None:
+                # parts are contiguous aranges post-permute; rebuild ptr
+                # from lengths (robust to empty parts)
+                arrs["part_ptr"] = np.concatenate(
+                    [[0], np.cumsum([len(ci) for ci in cluster_indices])]
+                ).astype(np.int64)
+            np.savez(prep_cache, **arrs)
+            log(f"cached prepared graph at {prep_cache}")
 
     jax.config.update("jax_default_matmul_precision", cfg.matmul_precision)
     ms = model_static(cfg, g.num_features, c)
